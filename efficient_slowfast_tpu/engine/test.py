@@ -1,0 +1,76 @@
+"""Multi-view testing engine (reference: tools/test_net.py:21-189).
+
+Each video appears NUM_ENSEMBLE_VIEWS × NUM_SPATIAL_CROPS times in the test
+set; per-clip post-softmax scores are ensembled per video (sum or max) in the
+TestMeter, then top-1/top-k computed. The 30-view batch rides the device in
+one jitted (preprocess + forward) program; no all_gather is needed — under
+pjit the gather is the device→host fetch of the (already global) outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..data.loader import construct_loader
+from ..data.preprocess import make_test_preprocess
+from ..models import build_model
+from ..parallel.mesh import build_mesh, shard_batch
+from ..utils import checkpoint as cu
+from ..utils.logging import get_logger, setup_logging
+from ..utils.meters import TestMeter
+from .state import create_train_state, make_forward
+
+logger = get_logger(__name__)
+
+
+def perform_test(cfg, state, model, loader, meter, mesh):
+    preprocess = make_test_preprocess(cfg)
+    fwd = make_forward(cfg, model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        frames = shard_batch(mesh, batch["frames"])
+        widths = shard_batch(mesh, batch["width"])
+        sidx = shard_batch(mesh, batch["spatial_idx"])
+        inputs = preprocess(frames, widths, sidx)
+        preds = np.asarray(jax.device_get(fwd(variables, inputs)))
+        meter.update_stats(
+            preds, np.asarray(batch["label"]),
+            np.asarray(batch["index"]) * meter.num_clips
+            + np.asarray(batch["temporal_idx"]) * cfg.TEST.NUM_SPATIAL_CROPS
+            + np.asarray(batch["spatial_idx"]),
+        )
+        if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+            meter.log_iter_stats(cur_iter)
+    meter.iter_toc()
+    return meter.finalize_metrics(ks=(1, cfg.TRAIN.TOPK))
+
+
+def test(cfg):
+    setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Test with config:\n%s", cfg.dump())
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    state, _ = create_train_state(cfg, model, rng)
+    state = cu.load_test_checkpoint(cfg, state)
+
+    loader = construct_loader(cfg, "test")
+    num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    num_items = len(loader.dataset)
+    assert num_items % num_clips == 0, (
+        f"test set size {num_items} not divisible by {num_clips} views"
+    )
+    meter = TestMeter(
+        num_videos=num_items // num_clips,
+        num_clips=num_clips,
+        num_cls=cfg.MODEL.NUM_CLASSES,
+        overall_iters=len(loader),
+        multi_label=cfg.DATA.MULTI_LABEL,
+        ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+        topk=cfg.TRAIN.TOPK,
+    )
+    stats = perform_test(cfg, state, model, loader, meter, mesh)
+    return stats

@@ -1,0 +1,184 @@
+"""Training engine (reference: tools/train_net.py).
+
+Differences from the reference, by TPU design (SURVEY §7):
+- one jitted train step (fwd+bwd+update+BN stats+metrics) instead of the
+  imperative loop body; data parallel via batch sharding, not DDP;
+- device-accumulated metrics fetched once per LOG_PERIOD (no per-iter
+  ``.item()`` syncs, reference train_net.py:133-138);
+- on-device fused preprocessing (data/preprocess.py) between feeder and step.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.node import CfgNode
+from ..data.loader import construct_loader, shuffle_dataset
+from ..data.preprocess import make_train_preprocess
+from ..models import build_model
+from ..ops.norm import aggregate_sub_bn_stats
+from ..parallel.mesh import build_mesh, shard_batch
+from ..utils import checkpoint as cu
+from ..utils import lr_policy
+from ..utils.logging import get_logger, setup_logging
+from ..utils.meters import TrainMeter, ValMeter
+from .state import create_train_state, make_eval_step, make_train_step, shard_state
+from .precise_bn import calculate_and_update_precise_bn
+
+logger = get_logger(__name__)
+
+
+def check_nan_losses(loss: float):
+    """reference: utils/misc.py:26-33."""
+    if math.isnan(loss):
+        raise RuntimeError("ERROR: Got NaN losses")
+
+
+def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
+                mesh, rng):
+    data_size = len(loader)
+    meter.iter_tic()
+    pending = []  # (iter, device metrics) — sync LOG_PERIOD behind
+    for cur_iter, batch in enumerate(loader):
+        lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
+        frames = shard_batch(mesh, batch["frames"])
+        widths = shard_batch(mesh, batch["width"])
+        labels = shard_batch(mesh, batch["label"])
+        key = jax.random.fold_in(rng, cur_epoch * data_size + cur_iter)
+        inputs = preprocess(key, frames, widths)
+        state, mets = train_step(state, inputs, labels, lr, rng)
+        pending.append((cur_iter, labels.shape[0], mets))
+        if len(pending) >= cfg.TPU.METRICS_PERIOD or cur_iter == data_size - 1:
+            for it, bs, m in pending:
+                m = jax.device_get(m)
+                loss = float(m["loss"])
+                check_nan_losses(loss)
+                meter.update_stats(
+                    float(m.get("top1_err", 0.0)),
+                    float(m.get(f"top{cfg.TRAIN.TOPK}_err", 0.0)),
+                    loss, float(m["lr"]), bs * max(cfg.NUM_SHARDS, 1),
+                )
+                meter.log_iter_stats(cur_epoch, it)
+            pending = []
+    meter.iter_toc()
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return state
+
+
+def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
+               mesh, rng):
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        frames = shard_batch(mesh, batch["frames"])
+        widths = shard_batch(mesh, batch["width"])
+        labels = shard_batch(mesh, batch["label"])
+        key = jax.random.fold_in(rng, cur_iter)
+        inputs = preprocess(key, frames, widths)
+        out = jax.device_get(eval_step(state, inputs, labels))
+        meter.update_stats(
+            float(out["top1_err"]), float(out[f"top{cfg.TRAIN.TOPK}_err"]),
+            labels.shape[0] * max(cfg.NUM_SHARDS, 1),
+        )
+        meter.log_iter_stats(cur_epoch, cur_iter)
+    meter.iter_toc()
+    top1 = meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return top1
+
+
+def train(cfg: CfgNode):
+    setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Train with config:\n%s", cfg.dump())
+
+    np.random.seed(cfg.RNG_SEED)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        from ..utils.multigrid import MultigridSchedule
+
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            cfg, _ = multigrid.update_long_cycle(cfg, cur_epoch=0)
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+    state = shard_state(state, mesh)
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+
+    train_loader = construct_loader(cfg, "train")
+    val_loader = construct_loader(cfg, "val")
+    precise_bn_loader = (
+        construct_loader(cfg, "train") if cfg.BN.USE_PRECISE_STATS else None
+    )
+
+    train_step = make_train_step(cfg, model, tx)
+    eval_step = make_eval_step(cfg, model)
+    preprocess = make_train_preprocess(cfg)
+
+    train_meter = TrainMeter(len(train_loader), cfg)
+    val_meter = ValMeter(len(val_loader), cfg)
+
+    logger.info("Start epoch: %d", start_epoch + 1)
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                # shape phase change: rebuild loaders + steps (bounded set of
+                # compiled programs; params carry over unchanged)
+                train_loader = construct_loader(cfg, "train")
+                val_loader = construct_loader(cfg, "val")
+                if cfg.BN.USE_PRECISE_STATS:
+                    precise_bn_loader = construct_loader(cfg, "train")
+                train_step = make_train_step(cfg, model, tx)
+                preprocess = make_train_preprocess(cfg)
+                train_meter = TrainMeter(len(train_loader), cfg)
+                val_meter = ValMeter(len(val_loader), cfg)
+
+        shuffle_dataset(train_loader, cur_epoch)
+        state = train_epoch(
+            cfg, state, train_step, preprocess, train_loader, train_meter,
+            cur_epoch, mesh, rng,
+        )
+
+        if cfg.BN.USE_PRECISE_STATS and precise_bn_loader is not None:
+            state = calculate_and_update_precise_bn(
+                cfg, state, model, precise_bn_loader, preprocess, mesh, rng,
+                num_batches=min(cfg.BN.NUM_BATCHES_PRECISE, len(precise_bn_loader)),
+            )
+        if cfg.BN.NORM_TYPE == "sub_batchnorm":
+            state = state.replace(
+                batch_stats=aggregate_sub_bn_stats(state.batch_stats)
+            )
+
+        if cu.is_checkpoint_epoch(
+            cfg, cur_epoch, multigrid.schedule if multigrid else None
+        ):
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if _is_eval_epoch(cfg, cur_epoch, multigrid.schedule if multigrid else None):
+            eval_epoch(cfg, state, eval_step, preprocess, val_loader, val_meter,
+                       cur_epoch, mesh, rng)
+    return state
+
+
+def _is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None) -> bool:
+    """reference: utils/misc.py:193-214."""
+    if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
+        return True
+    if multigrid_schedule is not None:
+        prev_epoch = 0
+        for s in multigrid_schedule:
+            if cur_epoch < s[-1]:
+                period = max(
+                    (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
+                )
+                return (s[-1] - 1 - cur_epoch) % period == 0
+            prev_epoch = s[-1]
+    return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0

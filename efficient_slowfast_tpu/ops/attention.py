@@ -19,7 +19,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .conv import Conv3d
+from .conv import Conv3d, conv_precision
 from .norm import BatchNorm3d
 
 
@@ -68,6 +68,7 @@ class ECA(nn.Module):
             padding=[( (self.k_size - 1) // 2, (self.k_size - 1) // 2 )],
             use_bias=False,
             param_dtype=jnp.float32,
+            precision=conv_precision(self.dtype),
             name="conv",
         )(y)
         gate = nn.sigmoid(y[..., 0]).astype(x.dtype)  # (B, C)
@@ -141,7 +142,8 @@ class NonLocalBlock(nn.Module):
             wy = nn.Conv(
                 features=c, kernel_size=(1, 1, 1),
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-                dtype=self.dtype, param_dtype=jnp.float32, name="w_zero",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                precision=conv_precision(self.dtype), name="w_zero",
             )(y)
         return wy + x
 
@@ -233,7 +235,8 @@ class ContextBlock3D(nn.Module):
             y = nn.Conv(
                 features=c, kernel_size=(1, 1, 1), kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros, dtype=self.dtype,
-                param_dtype=jnp.float32, name="mul_up",
+                param_dtype=jnp.float32,
+                precision=conv_precision(self.dtype), name="mul_up",
             )(y)
             out = out * nn.sigmoid(y)
         if "channel_add" in self.fusion_types:
@@ -243,7 +246,8 @@ class ContextBlock3D(nn.Module):
             y = nn.Conv(
                 features=c, kernel_size=(1, 1, 1), kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros, dtype=self.dtype,
-                param_dtype=jnp.float32, name="add_up",
+                param_dtype=jnp.float32,
+                precision=conv_precision(self.dtype), name="add_up",
             )(y)
             out = out + y
         return out

@@ -20,6 +20,14 @@ msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 msra_init_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def conv_precision(dtype):
+    """Matmul/conv precision policy: exact fp32 accumulation for parity runs
+    (dtype None/float32), default (fast MXU bf16) for bfloat16 compute."""
+    if dtype == jnp.bfloat16:
+        return None
+    return "highest"
+
+
 def _triple(v) -> Tuple[int, int, int]:
     if isinstance(v, (tuple, list)):
         assert len(v) == 3
@@ -61,6 +69,7 @@ class Conv3d(nn.Module):
             kernel_dilation=d,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            precision=conv_precision(self.dtype),
             name="conv",
         )(x)
 
@@ -86,5 +95,6 @@ class Linear(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            precision=conv_precision(self.dtype),
             name="fc",
         )(x)

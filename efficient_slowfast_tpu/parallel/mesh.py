@@ -1,0 +1,64 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's per-GPU process spawn / DDP / NCCL stack
+(reference: slowfast/utils/multiprocessing.py:9-50, utils/distributed.py,
+models/build.py:39-43) with a single-process SPMD program:
+
+- one `jax.sharding.Mesh` with a "data" axis over all devices (ICI within a
+  slice, DCN across hosts via jax.distributed),
+- the global batch sharded over "data"; parameters/optimizer state replicated,
+- gradient reduction compiled into the jitted step by GSPMD (no DDP wrapper,
+  no explicit all_reduce calls).
+
+Multi-host (NUM_SHARDS > 1) uses `jax.distributed.initialize`, after which
+`jax.devices()` spans all hosts and the same mesh/program runs everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def init_distributed(cfg) -> None:
+    """Multi-host init (reference NUM_SHARDS/SHARD_ID/init_method contract)."""
+    if cfg.NUM_SHARDS > 1 and jax.process_count() == 1:
+        coordinator = cfg_init_addr(cfg)
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=cfg.NUM_SHARDS,
+            process_id=cfg.SHARD_ID,
+        )
+
+
+def cfg_init_addr(cfg) -> str:
+    # parser stores e.g. tcp://host:port; jax wants host:port
+    addr = getattr(cfg, "INIT_METHOD", "tcp://localhost:9999")
+    return addr.split("://")[-1]
+
+
+def build_mesh(cfg=None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if cfg is not None and cfg.TPU.DATA_AXIS:
+        n = min(n, cfg.TPU.DATA_AXIS)
+        devices = devices[:n]
+    return Mesh(np.array(devices).reshape(n), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input pytrees (leading axis over "data")."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree onto the mesh with the batch axis sharded."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,154 @@
+"""Checkpointing (reference: slowfast/utils/checkpoint.py).
+
+Native format: msgpack (flax.serialization) files
+``OUTPUT_DIR/checkpoints/checkpoint_epoch_{epoch:05d}.jaxckpt`` holding
+{epoch, params, batch_stats, opt_state}; master-process-only save, newest-file
+resume (reference :57-70, :107-136, :430-455). PyTorch ``.pyth``/Caffe2
+import lives in utils/torch_ckpt.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+
+from .logging import get_logger
+
+logger = get_logger(__name__)
+
+_CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.jaxckpt$")
+
+
+def make_checkpoint_dir(path_to_job: str) -> str:
+    d = get_checkpoint_dir(path_to_job)
+    if jax.process_index() == 0:
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_checkpoint_dir(path_to_job: str) -> str:
+    return os.path.join(path_to_job, "checkpoints")
+
+
+def get_path_to_checkpoint(path_to_job: str, epoch: int) -> str:
+    return os.path.join(
+        get_checkpoint_dir(path_to_job), f"checkpoint_epoch_{epoch:05d}.jaxckpt"
+    )
+
+
+def get_last_checkpoint(path_to_job: str) -> Optional[str]:
+    d = get_checkpoint_dir(path_to_job)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(n for n in os.listdir(d) if _CKPT_RE.search(n))
+    return os.path.join(d, names[-1]) if names else None
+
+
+def has_checkpoint(path_to_job: str) -> bool:
+    return get_last_checkpoint(path_to_job) is not None
+
+
+def is_checkpoint_epoch(cfg, cur_epoch: int, multigrid_schedule=None) -> bool:
+    """Checkpoint cadence, multigrid-aware (reference: :84-104)."""
+    if multigrid_schedule is not None:
+        prev_epoch = 0
+        for s in multigrid_schedule:
+            if cur_epoch < s[-1]:
+                period = max(
+                    (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
+                )
+                return (s[-1] - 1 - cur_epoch) % period == 0
+            prev_epoch = s[-1]
+    return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
+
+
+def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> Optional[str]:
+    """Master-only save of the full train state (reference: :107-136)."""
+    if jax.process_index() != 0:
+        return None
+    make_checkpoint_dir(path_to_job)
+    payload = {
+        "epoch": epoch,
+        "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
+        "batch_stats": flax.serialization.to_state_dict(
+            jax.device_get(state.batch_stats)
+        ),
+        "opt_state": flax.serialization.to_state_dict(
+            jax.device_get(state.opt_state)
+        ),
+        "cfg": cfg.dump() if hasattr(cfg, "dump") else "",
+    }
+    path = get_path_to_checkpoint(path_to_job, epoch + 1)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    logger.info("Saved checkpoint to %s", path)
+    return path
+
+
+def load_checkpoint(path: str, state, load_opt: bool = True) -> Tuple[Any, int]:
+    """Restore a TrainState from ``path``; returns (state, epoch)."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    params = flax.serialization.from_state_dict(state.params, payload["params"])
+    batch_stats = flax.serialization.from_state_dict(
+        state.batch_stats, payload["batch_stats"]
+    )
+    new = state.replace(params=params, batch_stats=batch_stats)
+    if load_opt and "opt_state" in payload:
+        try:
+            opt_state = flax.serialization.from_state_dict(
+                state.opt_state, payload["opt_state"]
+            )
+            new = new.replace(opt_state=opt_state)
+        except Exception as e:  # optimizer change between runs is legal
+            logger.warning("Could not restore optimizer state: %s", e)
+    epoch = int(payload.get("epoch", -1))
+    logger.info("Loaded checkpoint %s (epoch %d)", path, epoch)
+    return new, epoch
+
+
+def load_train_checkpoint(cfg, state) -> Tuple[Any, int]:
+    """Auto-resume policy (reference: :430-455). Returns (state, start_epoch)."""
+    if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR):
+        path = get_last_checkpoint(cfg.OUTPUT_DIR)
+        state, epoch = load_checkpoint(path, state)
+        return state, epoch + 1
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        state = _load_external(cfg, cfg.TRAIN.CHECKPOINT_FILE_PATH,
+                               cfg.TRAIN.CHECKPOINT_TYPE, state,
+                               inflate=cfg.TRAIN.CHECKPOINT_INFLATE)
+        return state, 0
+    return state, 0
+
+
+def load_test_checkpoint(cfg, state):
+    """Test-time checkpoint selection (reference: :392-427)."""
+    if cfg.TEST.CHECKPOINT_FILE_PATH:
+        return _load_external(cfg, cfg.TEST.CHECKPOINT_FILE_PATH,
+                              cfg.TEST.CHECKPOINT_TYPE, state)
+    if has_checkpoint(cfg.OUTPUT_DIR):
+        state, _ = load_checkpoint(get_last_checkpoint(cfg.OUTPUT_DIR), state,
+                                   load_opt=False)
+        return state
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        return _load_external(cfg, cfg.TRAIN.CHECKPOINT_FILE_PATH,
+                              cfg.TRAIN.CHECKPOINT_TYPE, state)
+    logger.info("Testing with random initialization. Only for debugging.")
+    return state
+
+
+def _load_external(cfg, path, ckpt_type, state, inflate=False):
+    if ckpt_type == "jax" or path.endswith(".jaxckpt"):
+        state, _ = load_checkpoint(path, state, load_opt=False)
+        return state
+    from .torch_ckpt import load_torch_checkpoint
+
+    params, batch_stats = load_torch_checkpoint(
+        cfg, path, state.params, state.batch_stats,
+        caffe2=(ckpt_type == "caffe2"), inflate=inflate,
+    )
+    return state.replace(params=params, batch_stats=batch_stats)

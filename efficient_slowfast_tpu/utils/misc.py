@@ -1,0 +1,116 @@
+"""Misc utilities (reference: slowfast/utils/misc.py).
+
+``launch_job`` (reference :275-303) needs no process spawn on TPU — the SPMD
+program is single-process per host; multi-host init happens via
+jax.distributed (parallel.mesh.init_distributed).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import init_distributed
+from .logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def launch_job(cfg, init_method: str, func: Callable, daemon=False):
+    """Run `func(cfg)` with multi-host setup if NUM_SHARDS > 1."""
+    if init_method and "INIT_METHOD" not in cfg:
+        cfg["INIT_METHOD"] = init_method
+    init_distributed(cfg)
+    return func(cfg)
+
+
+def params_count(params: Any) -> int:
+    """reference: misc.py:36-42."""
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def check_nan_losses(loss: float):
+    if math.isnan(loss):
+        raise RuntimeError("ERROR: Got NaN losses")
+
+
+def get_flop_stats(model, cfg, example_inputs, train: bool = False) -> float:
+    """FLOPs from XLA cost analysis (replaces fvcore flop_count,
+    reference: misc.py:109-150)."""
+    import functools
+
+    def fwd(variables, x):
+        return model.apply(variables, x, train=False)
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        {"params": rng, "dropout": rng}, example_inputs,
+    )
+    lowered = jax.jit(fwd).lower(variables, example_inputs)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0)) if cost else 0.0
+
+
+def gpu_mem_usage() -> float:
+    """Per-device live HBM bytes → GB (TPU equivalent of cuda mem stats)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / 1024 ** 3
+    except Exception:
+        return 0.0
+
+
+def cpu_mem_usage():
+    try:
+        import psutil
+
+        vram = psutil.virtual_memory()
+        return (vram.total - vram.available) / 1024 ** 3, vram.total / 1024 ** 3
+    except Exception:
+        return 0.0, 0.0
+
+
+def log_model_info(model, cfg, state, example_inputs):
+    """Params + FLOPs + memory (reference: misc.py:165-190)."""
+    logger.info("Model:\n%s", type(model).__name__)
+    logger.info("Params: %s", f"{params_count(state.params):,}")
+    logger.info("Mem: %.2f GB", gpu_mem_usage())
+    try:
+        flops = get_flop_stats(model, cfg, example_inputs)
+        logger.info("Flops: %.2f G", flops / 1e9)
+    except Exception as e:
+        logger.warning("Flop analysis unavailable: %s", e)
+
+
+def frozen_bn_stats_tree(batch_stats):
+    """Return batch_stats marked for no-update use (identity; the functional
+    train step only updates stats it is asked to — freezing = not threading
+    the new stats back, so this is a documentation helper)."""
+    return batch_stats
+
+
+def get_class_names(path, parent_path=None, subset_path=None):
+    """reference: misc.py:306-375 (json {name: id} → ordered list)."""
+    import json
+
+    with open(path, "r") as f:
+        class2idx = json.load(f)
+    max_i = max(class2idx.values())
+    names = [None] * (max_i + 1)
+    for k, i in class2idx.items():
+        names[i] = k
+    parent, subset = None, None
+    if parent_path:
+        with open(parent_path, "r") as f:
+            parent = json.load(f)
+    if subset_path:
+        with open(subset_path, "r") as f:
+            subset = [line.strip() for line in f]
+    return names, parent, subset

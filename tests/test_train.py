@@ -1,0 +1,144 @@
+"""Train-step, optimizer, and LR-policy tests (8 virtual devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.models import build_model
+from efficient_slowfast_tpu.models.optimizer import bn_mask, construct_optimizer
+from efficient_slowfast_tpu.engine.state import (
+    create_train_state, make_eval_step, make_train_step, pathway_inputs, shard_state,
+)
+from efficient_slowfast_tpu.parallel.mesh import build_mesh, shard_batch
+from efficient_slowfast_tpu.utils import lr_policy
+
+
+def small_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_train_step_decreases_loss(rng):
+    cfg = small_cfg()
+    cfg.MODEL.DROPOUT_RATE = 0.0  # deterministic objective on a fixed batch
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+    mesh = build_mesh(cfg)
+    state = shard_state(state, mesh)
+    step = make_train_step(cfg, model, tx)
+    inputs = [jax.random.normal(rng, x.shape) for x in pathway_inputs(cfg, 8)]
+    labels = jnp.arange(8) % 4
+    inputs = shard_batch(mesh, inputs)
+    labels = shard_batch(mesh, labels)
+    losses = []
+    for _ in range(6):
+        state, mets = step(state, inputs, labels, 0.01, rng)
+        losses.append(float(mets["loss"]))
+    # SGD on a fixed batch (no dropout) must reduce the loss overall
+    assert min(losses[2:]) < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_eval_step_metrics(rng):
+    cfg = small_cfg()
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+    ev = make_eval_step(cfg, model)
+    inputs = pathway_inputs(cfg, 4)
+    labels = jnp.zeros(4, jnp.int32)
+    out = ev(state, inputs, labels)
+    assert out["preds"].shape == (4, 4)
+    assert 0.0 <= float(out["top1_err"]) <= 100.0
+
+
+def test_bn_mask_identifies_norm_params(rng):
+    cfg = small_cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, rng)
+    mask = bn_mask(state.params, want_bn=True)
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(mask)[0]
+    bn_true = [p for p, v in leaves_with_path if v]
+    bn_false = [p for p, v in leaves_with_path if not v]
+    assert bn_true and bn_false
+    assert all(any("bn" in str(k) for k in p) for p in bn_true)
+    assert not any(any("bn" in str(k) for k in p) for p in bn_false)
+
+
+def test_lr_cosine_and_warmup():
+    cfg = get_cfg()
+    cfg.SOLVER.LR_POLICY = "cosine"
+    cfg.SOLVER.BASE_LR = 0.1
+    cfg.SOLVER.MAX_EPOCH = 100
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    assert lr_policy.get_lr_at_epoch(cfg, 0.0) == pytest.approx(0.1)
+    assert lr_policy.get_lr_at_epoch(cfg, 50.0) == pytest.approx(0.05)
+    assert lr_policy.get_lr_at_epoch(cfg, 100.0) == pytest.approx(0.0, abs=1e-9)
+    cfg.SOLVER.WARMUP_EPOCHS = 10.0
+    cfg.SOLVER.WARMUP_START_LR = 0.01
+    assert lr_policy.get_lr_at_epoch(cfg, 0.0) == pytest.approx(0.01)
+    # warmup is linear to the policy LR at warmup end
+    end = lr_policy.lr_func_cosine(cfg, 10.0)
+    mid = lr_policy.get_lr_at_epoch(cfg, 5.0)
+    assert mid == pytest.approx((0.01 + end) / 2)
+
+
+def test_lr_steps_policy():
+    cfg = get_cfg()
+    cfg.SOLVER.LR_POLICY = "steps_with_relative_lrs"
+    cfg.SOLVER.STEPS = [0, 20, 40]
+    cfg.SOLVER.LRS = [1.0, 0.1, 0.01]
+    cfg.SOLVER.BASE_LR = 0.2
+    cfg.SOLVER.MAX_EPOCH = 60
+    assert lr_policy.get_lr_at_epoch(cfg, 5.0) == pytest.approx(0.2)
+    assert lr_policy.get_lr_at_epoch(cfg, 25.0) == pytest.approx(0.02)
+    assert lr_policy.get_lr_at_epoch(cfg, 45.0) == pytest.approx(0.002)
+
+
+def test_sgd_matches_torch_momentum(rng):
+    """One SGD+momentum+wd step must match torch.optim.SGD semantics."""
+    import torch
+
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    g = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+    lr, mom, wd = 0.1, 0.9, 1e-2
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([tw], lr=lr, momentum=mom, weight_decay=wd, nesterov=True)
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g.copy())
+        opt.step()
+    ref = tw.detach().numpy()
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.MOMENTUM = mom
+    cfg.SOLVER.NESTEROV = True
+    cfg.SOLVER.WEIGHT_DECAY = wd
+    cfg.SOLVER.BASE_LR = lr
+    cfg.BN.WEIGHT_DECAY = 0.0
+    params = {"dense": {"kernel": jnp.asarray(w0.copy())}}
+    tx, opt_state = construct_optimizer(cfg, params)
+    import optax
+
+    for _ in range(3):
+        opt_state = opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": jnp.asarray(lr)}
+        )
+        updates, opt_state = tx.update(
+            {"dense": {"kernel": jnp.asarray(g.copy())}}, opt_state, params
+        )
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]), ref,
+                               rtol=1e-5, atol=1e-6)
