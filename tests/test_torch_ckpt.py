@@ -1,0 +1,135 @@
+"""Checkpoint import mapping tests (SURVEY §4: golden tests for interop)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.models import build_model
+from efficient_slowfast_tpu.utils.torch_ckpt import (
+    c2_name_to_torch,
+    export_torch_state_dict,
+    flax_path_to_torch_name,
+)
+
+
+def tiny_slowfast_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []], [[0], []], [[], []], [[], []]]
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def build_vars(cfg, rng):
+    model = build_model(cfg)
+    x = [jnp.ones((1, 2, 32, 32, 3)), jnp.ones((1, 8, 32, 32, 3))]
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, x)
+    return model, x, v
+
+
+def test_reference_names_present(rng):
+    cfg = tiny_slowfast_cfg()
+    _, _, v = build_vars(cfg, rng)
+    sd = export_torch_state_dict(v["params"], v.get("batch_stats", {}))
+    expected = [
+        "s1.pathway0_stem.conv.weight",
+        "s1.pathway0_stem.bn.weight",
+        "s1.pathway0_stem.bn.running_mean",
+        "s1.pathway1_stem.conv.weight",
+        "s1_fuse.conv_f2s.weight",
+        "s1_fuse.bn.weight",
+        "s2.pathway0_res0.branch2.a.weight",
+        "s2.pathway0_res0.branch2.a_bn.weight",
+        "s2.pathway0_res0.branch1.weight",
+        "s2.pathway0_res0.branch1_bn.running_var",
+        "s3.pathway0_nonlocal0.conv_theta.weight",
+        "s3.pathway0_nonlocal0.conv_out.weight",
+        "s3.pathway0_nonlocal0.bn.weight",
+        "head.projection.weight",
+        "head.projection.bias",
+    ]
+    for name in expected:
+        assert name in sd, f"missing {name}; have e.g. {sorted(sd)[:8]}"
+
+
+def test_cmda_names_present(rng):
+    cfg = tiny_slowfast_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastDualAttention"
+    cfg.RESNET.DEPTH = 18
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    _, _, v = build_vars(cfg, rng)
+    sd = export_torch_state_dict(v["params"], v.get("batch_stats", {}))
+    expected = [
+        "s1_fuse.downsample_c_of_slow.weight",
+        "s1_fuse.attention_channel_f2s.conv.weight",
+        "s1_fuse.attention_spatial_s2f.query_conv.weight",
+        "s1_fuse.attention_spatial_s2f.value_conv.bias",
+        "s1_fuse.attention_spatial_s2f.gamma",
+        "s1_fuse.bn_f2s.weight",
+        "s1_fuse.bn_s2f.running_mean",
+    ]
+    for name in expected:
+        assert name in sd, f"missing {name}"
+
+
+def test_round_trip_import_exact_logits(rng, tmp_path):
+    """Export our params to torch names, perturb, reimport → identical logits."""
+    import torch
+
+    cfg = tiny_slowfast_cfg()
+    model, x, v = build_vars(cfg, rng)
+
+    sd = export_torch_state_dict(v["params"], v.get("batch_stats", {}))
+    # randomize every exported tensor so a successful import is distinguishable
+    rs = np.random.RandomState(0)
+    sd = {k: rs.randn(*np.asarray(w).shape).astype(np.float32) * 0.05
+          for k, w in sd.items()}
+    ckpt = tmp_path / "ref.pyth"
+    torch.save({"model_state": {k: torch.tensor(w) for k, w in sd.items()},
+                "epoch": 3}, str(ckpt))
+
+    from efficient_slowfast_tpu.utils.torch_ckpt import load_torch_checkpoint
+
+    params2, stats2 = load_torch_checkpoint(
+        cfg, str(ckpt), v["params"], v.get("batch_stats", {})
+    )
+    # every exported tensor must round-trip exactly
+    sd2 = export_torch_state_dict(params2, stats2)
+    for k in sd:
+        np.testing.assert_allclose(sd2[k], sd[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+    # and the loaded model must produce different (i.e. actually-loaded) logits
+    out_orig = model.apply(v, x, train=False)
+    out_new = model.apply({"params": params2, "batch_stats": stats2}, x,
+                          train=False)
+    assert not np.allclose(np.asarray(out_orig), np.asarray(out_new))
+
+
+def test_c2_name_translation():
+    assert c2_name_to_torch("conv1_w") == "s1.pathway0_stem.conv.weight"
+    assert (c2_name_to_torch("res2_0_branch2a_w")
+            == "s2.pathway0_res0.branch2.a.weight")
+    assert (c2_name_to_torch("res3_1_branch2b_bn_rm")
+            == "s3.pathway0_res1.branch2.b_bn.running_mean")
+    assert (c2_name_to_torch("res4_0_branch1_bn_s")
+            == "s4.pathway0_res0.branch1_bn.weight")
+    assert c2_name_to_torch("pred_b") == "head.projection.bias"
+    assert (c2_name_to_torch("nonlocal_conv3_1_theta_w")
+            == "s3.pathway0_nonlocal1.conv_theta.weight")
