@@ -1,0 +1,335 @@
+// Native video decode stage for the TPU-native Efficient-SlowFast framework.
+//
+// Replaces the reference's PyAV (Cython/FFmpeg) decode path
+// (reference: slowfast/datasets/video_container.py:7-29 and
+// slowfast/datasets/decoder.py:150-354) with a C++ library exposed over a
+// C ABI for ctypes:
+//
+//  - selective decode: seek to the clip window's start pts with the same
+//    1024-pts margin as pyav_decode_stream (decoder.py:168-189), decode and
+//    keep only frames whose pts fall in [start_pts, end_pts];
+//  - clip window selection replicates get_start_end_idx + pyav_decode
+//    (decoder.py:55-83, :287-354): clip_size = sampling_rate * num_frames /
+//    target_fps * fps; random (caller-supplied uniform) or uniformly-spaced
+//    test clips;
+//  - linspace temporal sampling to num_frames (decoder.py:35-52);
+//  - swscale bilinear short-side resize + RGB24 conversion, writing frames
+//    into a caller-provided right-padded canvas (short, max_width).
+//
+// Also provides a tiny mpeg4 encoder (esf_write_test_video) so unit tests can
+// synthesize fixture media without external tools.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Frame {
+    int64_t pts;
+    AVFrame* frame;
+};
+
+struct DecodeCtx {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    int stream_idx = -1;
+
+    ~DecodeCtx() {
+        if (dec) avcodec_free_context(&dec);
+        if (fmt) avformat_close_input(&fmt);
+    }
+};
+
+int open_video(const char* path, int multi_thread, DecodeCtx* ctx) {
+    if (avformat_open_input(&ctx->fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(ctx->fmt, nullptr) < 0) return -2;
+    ctx->stream_idx = av_find_best_stream(ctx->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                          nullptr, 0);
+    if (ctx->stream_idx < 0) return -3;
+    AVStream* st = ctx->fmt->streams[ctx->stream_idx];
+    const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) return -4;
+    ctx->dec = avcodec_alloc_context3(codec);
+    if (!ctx->dec) return -5;
+    if (avcodec_parameters_to_context(ctx->dec, st->codecpar) < 0) return -6;
+    if (multi_thread) {
+        // PyAV's thread_type="AUTO" equivalent (video_container.py:23-27)
+        ctx->dec->thread_count = 0;
+        ctx->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    }
+    if (avcodec_open2(ctx->dec, codec, nullptr) < 0) return -7;
+    return 0;
+}
+
+// Decode every frame with pts in [start_pts, end_pts] after seeking with the
+// reference's margin (decoder.py:168-189). Frames returned sorted by pts.
+int decode_window(DecodeCtx* ctx, int64_t start_pts, int64_t end_pts,
+                  int64_t margin, std::vector<Frame>* out) {
+    int64_t seek_target = std::max<int64_t>(start_pts - margin, 0);
+    av_seek_frame(ctx->fmt, ctx->stream_idx, seek_target, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(ctx->dec);
+
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frm = av_frame_alloc();
+    bool done = false;
+    int max_margin_overrun = 0;
+    while (!done) {
+        int r = av_read_frame(ctx->fmt, pkt);
+        bool eof_input = (r < 0);
+        if (!eof_input && pkt->stream_index != ctx->stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        if (avcodec_send_packet(ctx->dec, eof_input ? nullptr : pkt) < 0 &&
+            !eof_input) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        av_packet_unref(pkt);
+        while (true) {
+            int rr = avcodec_receive_frame(ctx->dec, frm);
+            if (rr == AVERROR(EAGAIN)) break;
+            if (rr == AVERROR_EOF) { done = true; break; }
+            if (rr < 0) { done = true; break; }
+            int64_t pts = frm->best_effort_timestamp;
+            if (pts == AV_NOPTS_VALUE) pts = frm->pts;
+            if (pts > end_pts) {
+                // a little overrun keeps b-frame reordering safe, then stop
+                if (++max_margin_overrun > 8) { done = true; }
+            }
+            if (pts >= start_pts && pts <= end_pts) {
+                Frame f;
+                f.pts = pts;
+                f.frame = av_frame_clone(frm);
+                out->push_back(f);
+            }
+            av_frame_unref(frm);
+        }
+        if (eof_input) break;
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frm);
+    std::sort(out->begin(), out->end(),
+              [](const Frame& a, const Frame& b) { return a.pts < b.pts; });
+    return out->empty() ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one clip. Returns 0 on success, negative error code otherwise.
+//   path          video file
+//   num_frames    frames to return (after linspace sampling)
+//   sampling_rate, target_fps  reference clip-window params
+//   clip_idx      -1 = random window (uses random01), else test clip index
+//   num_clips     number of uniformly spaced test clips
+//   random01      uniform sample in [0,1) used when clip_idx == -1
+//   short_side    output short side (swscale bilinear)
+//   max_width     output canvas width; wider content is center-cropped
+//   multi_thread  enable frame/slice threading
+//   out           buffer of num_frames * short_side * max_width * 3 bytes
+//   out_width     receives the true content width (<= max_width)
+int esf_decode_clip(const char* path, int num_frames, double sampling_rate,
+                    double target_fps, int clip_idx, int num_clips,
+                    double random01, int short_side, int max_width,
+                    int multi_thread, unsigned char* out, int* out_width) {
+    DecodeCtx ctx;
+    int rc = open_video(path, multi_thread, &ctx);
+    if (rc != 0) return rc;
+
+    AVStream* st = ctx.fmt->streams[ctx.stream_idx];
+    double fps = av_q2d(st->avg_frame_rate);
+    if (!(fps > 0)) fps = av_q2d(st->r_frame_rate);
+    if (!(fps > 0)) fps = 30.0;
+    int64_t frames_length = st->nb_frames;
+    int64_t duration = st->duration;
+
+    std::vector<Frame> window;
+    double start_idx = 0.0, end_idx = 0.0;
+    double clip_size = sampling_rate * num_frames / target_fps * fps;
+    bool selective = (duration > 0 && frames_length > 0);
+
+    if (selective) {
+        double delta = std::max<double>(frames_length - clip_size, 0);
+        if (clip_idx == -1) {
+            start_idx = delta * random01;
+        } else {
+            start_idx = delta * clip_idx / std::max(num_clips, 1);
+        }
+        end_idx = start_idx + clip_size - 1;
+        double timebase = double(duration) / double(frames_length);
+        int64_t start_pts = int64_t(start_idx * timebase);
+        int64_t end_pts = int64_t(end_idx * timebase);
+        rc = decode_window(&ctx, start_pts, end_pts, 1024, &window);
+    } else {
+        rc = decode_window(&ctx, 0, INT64_MAX / 2, 0, &window);
+    }
+    if (rc != 0 || window.empty()) {
+        for (auto& f : window) av_frame_free(&f.frame);
+        return -10;
+    }
+
+    // second-stage temporal sampling (decoder.py:357-470): when the decode
+    // was selective the window IS the clip → sample over the whole window;
+    // otherwise sample the clip range out of the full video.
+    int n = int(window.size());
+    double sel_start, sel_end;
+    if (selective) {
+        sel_start = 0;
+        sel_end = n - 1;
+    } else {
+        double delta = std::max<double>(n - clip_size, 0);
+        if (clip_idx == -1) sel_start = delta * random01;
+        else sel_start = delta * clip_idx / std::max(num_clips, 1);
+        sel_end = sel_start + clip_size - 1;
+    }
+
+    // output geometry: short side == short_side, preserve aspect, center-crop
+    // long side to canvas limits
+    int in_w = ctx.dec->width, in_h = ctx.dec->height;
+    int new_w, new_h;
+    if (in_h <= in_w) {
+        new_h = short_side;
+        new_w = std::max(short_side,
+                         int(std::lround(double(in_w) * short_side / in_h)));
+    } else {
+        new_w = short_side;
+        new_h = int(std::lround(double(in_h) * short_side / in_w));
+    }
+    int crop_w = std::min(new_w, max_width);
+    int crop_h = std::min(new_h, short_side);
+    int x_off = (new_w - crop_w) / 2;
+    int y_off = (new_h - crop_h) / 2;
+    *out_width = crop_w;
+
+    SwsContext* sws = sws_getContext(
+        in_w, in_h, ctx.dec->pix_fmt, new_w, new_h, AV_PIX_FMT_RGB24,
+        SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!sws) {
+        for (auto& f : window) av_frame_free(&f.frame);
+        return -11;
+    }
+
+    std::vector<uint8_t> rgb(size_t(new_w) * new_h * 3);
+    uint8_t* dst_data[4] = {rgb.data(), nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {new_w * 3, 0, 0, 0};
+
+    size_t row_bytes = size_t(max_width) * 3;
+    size_t frame_bytes = size_t(short_side) * row_bytes;
+    std::memset(out, 0, size_t(num_frames) * frame_bytes);
+
+    for (int i = 0; i < num_frames; ++i) {
+        double pos = (num_frames == 1)
+                         ? sel_start
+                         : sel_start + (sel_end - sel_start) * i / (num_frames - 1);
+        int idx = int(std::lround(pos));
+        idx = std::min(std::max(idx, 0), n - 1);
+        AVFrame* f = window[size_t(idx)].frame;
+        sws_scale(sws, f->data, f->linesize, 0, in_h, dst_data, dst_linesize);
+        uint8_t* dst = out + size_t(i) * frame_bytes;
+        for (int y = 0; y < crop_h; ++y) {
+            const uint8_t* src =
+                rgb.data() + (size_t(y + y_off) * new_w + x_off) * 3;
+            std::memcpy(dst + size_t(y) * row_bytes, src, size_t(crop_w) * 3);
+        }
+    }
+
+    sws_freeContext(sws);
+    for (auto& f : window) av_frame_free(&f.frame);
+    return 0;
+}
+
+// Probe basic stream info. Returns 0 on success.
+int esf_probe(const char* path, double* fps, int64_t* nb_frames,
+              int* width, int* height) {
+    DecodeCtx ctx;
+    int rc = open_video(path, 0, &ctx);
+    if (rc != 0) return rc;
+    AVStream* st = ctx.fmt->streams[ctx.stream_idx];
+    *fps = av_q2d(st->avg_frame_rate);
+    *nb_frames = st->nb_frames;
+    *width = ctx.dec->width;
+    *height = ctx.dec->height;
+    return 0;
+}
+
+// Encode `n` RGB24 frames (h x w) into an mpeg4 .mp4 — test-fixture helper.
+int esf_write_test_video(const char* path, const unsigned char* rgb, int n,
+                         int w, int h, int fps) {
+    AVFormatContext* fmt = nullptr;
+    avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+    if (!fmt) return -1;
+    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!codec) return -2;
+    AVStream* st = avformat_new_stream(fmt, nullptr);
+    AVCodecContext* enc = avcodec_alloc_context3(codec);
+    enc->width = w;
+    enc->height = h;
+    enc->time_base = {1, fps};
+    enc->framerate = {fps, 1};
+    enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    enc->gop_size = 8;
+    enc->bit_rate = 4000000;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
+    avcodec_parameters_from_context(st->codecpar, enc);
+    st->time_base = enc->time_base;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE))
+        if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+    if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+    SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                     AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+    AVFrame* frm = av_frame_alloc();
+    frm->format = AV_PIX_FMT_YUV420P;
+    frm->width = w;
+    frm->height = h;
+    av_frame_get_buffer(frm, 0);
+    AVPacket* pkt = av_packet_alloc();
+
+    auto flush = [&](AVFrame* f) {
+        avcodec_send_frame(enc, f);
+        while (avcodec_receive_packet(enc, pkt) == 0) {
+            av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+            pkt->stream_index = st->index;
+            av_interleaved_write_frame(fmt, pkt);
+            av_packet_unref(pkt);
+        }
+    };
+
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* src_data[4] = {rgb + size_t(i) * w * h * 3, nullptr,
+                                      nullptr, nullptr};
+        int src_linesize[4] = {w * 3, 0, 0, 0};
+        av_frame_make_writable(frm);
+        sws_scale(sws, src_data, src_linesize, 0, h, frm->data, frm->linesize);
+        frm->pts = i;
+        flush(frm);
+    }
+    flush(nullptr);
+    av_write_trailer(fmt);
+
+    av_packet_free(&pkt);
+    av_frame_free(&frm);
+    sws_freeContext(sws);
+    avcodec_free_context(&enc);
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,121 @@
+"""ctypes wrapper over the native C++ FFmpeg decode library.
+
+Reference semantics reproduced natively (see csrc/decode.cpp):
+selective pts-window decode with 1024-pts seek margin, reference clip-window
+math, linspace temporal sampling, swscale short-side resize. The library is
+built by ``make -C csrc`` (also attempted automatically on first use).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import random
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from .datasets import canvas_width  # noqa: F401 (re-export convenience)
+
+logger = get_logger(__name__)
+
+_LIB_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "libesf_decode.so")
+
+
+def _build_lib() -> None:
+    csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    logger.info("Building native decoder (make -C %s)...", csrc)
+    subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB
+        path = _lib_path()
+        if not os.path.exists(path):
+            _build_lib()
+        lib = ctypes.CDLL(path)
+        lib.esf_decode_clip.restype = ctypes.c_int
+        lib.esf_decode_clip.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.esf_probe.restype = ctypes.c_int
+        lib.esf_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.esf_write_test_video.restype = ctypes.c_int
+        lib.esf_write_test_video.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _LIB = lib
+        return lib
+
+
+def decode_clip(path: str, num_frames: int, sampling_rate: float,
+                clip_idx: int, num_clips: int, target_fps: float,
+                short_side: int, random_clip: bool,
+                multi_thread: bool = False) -> Optional[np.ndarray]:
+    """Decode one clip → uint8 (num_frames, short_side, W, 3), W ≤ 2·short.
+
+    Returns None on decode failure (caller retries per the reference's
+    retry-with-replacement policy, kinetics.py:192-255).
+    """
+    lib = get_lib()
+    max_w = short_side * 2
+    out = np.zeros((num_frames, short_side, max_w, 3), np.uint8)
+    out_w = ctypes.c_int(0)
+    rnd = random.random() if random_clip else 0.0
+    rc = lib.esf_decode_clip(
+        path.encode(), num_frames, float(sampling_rate), float(target_fps),
+        -1 if random_clip else int(clip_idx), int(num_clips), float(rnd),
+        int(short_side), int(max_w), int(bool(multi_thread)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.byref(out_w),
+    )
+    if rc != 0:
+        logger.warning("native decode failed (%d) for %s", rc, path)
+        return None
+    return out[:, :, : out_w.value]
+
+
+def probe(path: str):
+    lib = get_lib()
+    fps = ctypes.c_double(0)
+    nb = ctypes.c_int64(0)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.esf_probe(path.encode(), ctypes.byref(fps), ctypes.byref(nb),
+                       ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return {"fps": fps.value, "nb_frames": nb.value,
+            "width": w.value, "height": h.value}
+
+
+def write_test_video(path: str, frames: np.ndarray, fps: int = 30) -> None:
+    """Encode uint8 (N, H, W, 3) frames to an mpeg4 file (test fixtures)."""
+    lib = get_lib()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    rc = lib.esf_write_test_video(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, w, h, fps,
+    )
+    if rc != 0:
+        raise RuntimeError(f"test video encode failed ({rc})")

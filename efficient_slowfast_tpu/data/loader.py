@@ -39,6 +39,13 @@ def construct_loader(cfg, split: str):
         batch_size = cfg.TEST.BATCH_SIZE // cfg.NUM_SHARDS
         shuffle, drop_last = False, False
     dataset = build_dataset(dataset_name, cfg, split)
+    batch_size_schedule = None
+    if split == "train" and cfg.MULTIGRID.SHORT_CYCLE:
+        from ..utils.multigrid import short_cycle_batch_sizes
+
+        batch_size_schedule = [
+            b // cfg.NUM_SHARDS for b in short_cycle_batch_sizes(cfg)
+        ]
     return ClipLoader(
         dataset,
         batch_size=batch_size,
@@ -47,6 +54,7 @@ def construct_loader(cfg, split: str):
         num_workers=cfg.DATA_LOADER.NUM_WORKERS,
         prefetch=cfg.DATA_LOADER.PREFETCH_DEPTH,
         seed=cfg.RNG_SEED,
+        batch_size_schedule=batch_size_schedule,
     )
 
 
@@ -54,7 +62,7 @@ class ClipLoader:
     """Iterable over collated numpy batches with background decode threads."""
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, prefetch=2, seed=0):
+                 num_workers=4, prefetch=2, seed=0, batch_size_schedule=None):
         self.dataset = dataset
         self.batch_size = max(1, batch_size)
         self.shuffle = shuffle
@@ -62,6 +70,9 @@ class ClipLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed
+        # short-cycle: batch sizes cycled per iteration
+        # (reference: datasets/multigrid_helper.py ShortCycleBatchSampler)
+        self.batch_size_schedule = batch_size_schedule
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -70,9 +81,28 @@ class ClipLoader:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.batch_size_schedule:
+            return len(self._schedule_batches(np.arange(n)))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _schedule_batches(self, indices):
+        """Split indices into batches following the cycling size schedule;
+        each batch carries its phase index as `_phase`."""
+        batches = []
+        pos = 0
+        i = 0
+        sched = self.batch_size_schedule
+        while pos < len(indices):
+            bs = sched[i % len(sched)]
+            chunk = indices[pos: pos + bs]
+            if len(chunk) < bs and self.drop_last:
+                break
+            batches.append((i % len(sched), chunk))
+            pos += bs
+            i += 1
+        return batches
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -91,13 +121,16 @@ class ClipLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
-        nb = len(indices) // self.batch_size
-        if not self.drop_last and len(indices) % self.batch_size:
-            nb += 1
-        batches = [
-            indices[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(nb)
-        ]
+        if self.batch_size_schedule:
+            batches = self._schedule_batches(indices)
+        else:
+            nb = len(indices) // self.batch_size
+            if not self.drop_last and len(indices) % self.batch_size:
+                nb += 1
+            batches = [
+                (None, indices[i * self.batch_size:(i + 1) * self.batch_size])
+                for i in range(nb)
+            ]
         if not batches:
             return
 
@@ -110,13 +143,16 @@ class ClipLoader:
 
         def produce():
             try:
-                for bi, batch_idx in enumerate(batches):
+                for bi, (phase, batch_idx) in enumerate(batches):
                     if stop.is_set():
                         return
                     samples = list(
                         pool.map(lambda i: self.dataset[int(i)], batch_idx)
                     )
-                    out_q.put((bi, _collate(samples)))
+                    collated = _collate(samples)
+                    if phase is not None:
+                        collated["_phase"] = np.int32(phase)
+                    out_q.put((bi, collated))
             finally:
                 out_q.put(None)
                 pool.shutdown(wait=False)

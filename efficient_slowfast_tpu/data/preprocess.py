@@ -26,11 +26,11 @@ from . import transform as T
 from .pathways import pack_pathway_output
 
 
-def make_train_preprocess(cfg):
+def make_train_preprocess(cfg, crop_size=None):
     mean = tuple(cfg.DATA.MEAN)
     std = tuple(cfg.DATA.STD)
     min_s, max_s = cfg.DATA.TRAIN_JITTER_SCALES
-    crop = cfg.DATA.TRAIN_CROP_SIZE
+    crop = int(crop_size) if crop_size else cfg.DATA.TRAIN_CROP_SIZE
     flip = cfg.DATA.RANDOM_FLIP
     inv = cfg.DATA.INV_UNIFORM_SAMPLE
 

@@ -43,13 +43,25 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
     data_size = len(loader)
     meter.iter_tic()
     pending = []  # (iter, device metrics) — sync LOG_PERIOD behind
+    short_cycle_pre = None
+    if cfg.MULTIGRID.SHORT_CYCLE:
+        from ..data.preprocess import make_train_preprocess
+        from ..utils.multigrid import short_cycle_shapes
+
+        short_cycle_pre = [
+            make_train_preprocess(cfg, crop_size=s)
+            for s in short_cycle_shapes(cfg)
+        ]
     for cur_iter, batch in enumerate(loader):
         lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
         frames = shard_batch(mesh, batch["frames"])
         widths = shard_batch(mesh, batch["width"])
         labels = shard_batch(mesh, batch["label"])
         key = jax.random.fold_in(rng, cur_epoch * data_size + cur_iter)
-        inputs = preprocess(key, frames, widths)
+        if short_cycle_pre is not None and "_phase" in batch:
+            inputs = short_cycle_pre[int(batch["_phase"])](key, frames, widths)
+        else:
+            inputs = preprocess(key, frames, widths)
         state, mets = train_step(state, inputs, labels, lr, rng)
         pending.append((cur_iter, labels.shape[0], mets))
         if len(pending) >= cfg.TPU.METRICS_PERIOD or cur_iter == data_size - 1:

@@ -1,0 +1,98 @@
+"""Native decoder tests using self-encoded fixture media (SURVEY §4:
+PyAV-style container/codec round-trip tests)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from efficient_slowfast_tpu.data import decoder
+
+
+@pytest.fixture(scope="module")
+def fixture_video(tmp_path_factory):
+    """120-frame video, frame index encoded in the red channel (×2)."""
+    path = str(tmp_path_factory.mktemp("media") / "fixture.mp4")
+    n, h, w = 120, 120, 160
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    for i in range(n):
+        frames[i, :, :, 0] = i * 2
+        frames[i, :, :, 1] = 128
+    decoder.write_test_video(path, frames, fps=30)
+    return path
+
+
+def red_indices(clip):
+    """Recover source frame indices from the red channel."""
+    return [float(clip[i, :, :, 0].mean()) / 2.0 for i in range(clip.shape[0])]
+
+
+def test_probe(fixture_video):
+    info = decoder.probe(fixture_video)
+    assert info["nb_frames"] == 120
+    assert info["width"] == 160 and info["height"] == 120
+    assert 29 < info["fps"] < 32
+
+
+def test_decode_shapes_and_aspect(fixture_video):
+    clip = decoder.decode_clip(fixture_video, num_frames=8, sampling_rate=2,
+                               clip_idx=0, num_clips=10, target_fps=30,
+                               short_side=64, random_clip=False)
+    assert clip.shape == (8, 64, 85, 3)  # 160/120 aspect → 85 wide
+
+
+def test_uniform_test_clips_cover_video(fixture_video):
+    """Clip k of 10 must start near (N - clip_size) * k / 10 (decoder.py:55-83)."""
+    clip_size = 2 * 8 / 30 * 30  # 16 frames
+    for k in (0, 5, 9):
+        clip = decoder.decode_clip(fixture_video, num_frames=8,
+                                   sampling_rate=2, clip_idx=k, num_clips=10,
+                                   target_fps=30, short_side=64,
+                                   random_clip=False)
+        idx = red_indices(clip)
+        expected_start = (120 - clip_size) * k / 10
+        assert abs(idx[0] - expected_start) < 4, (k, idx)
+        assert abs(idx[-1] - (expected_start + clip_size - 1)) < 4, (k, idx)
+        # monotone non-decreasing frame order
+        assert all(b >= a - 2 for a, b in zip(idx, idx[1:]))
+
+
+def test_random_clip_within_bounds(fixture_video):
+    clip = decoder.decode_clip(fixture_video, num_frames=8, sampling_rate=2,
+                               clip_idx=-1, num_clips=1, target_fps=30,
+                               short_side=64, random_clip=True)
+    idx = red_indices(clip)
+    assert 0 <= idx[0] <= 120 and 0 <= idx[-1] <= 122
+
+
+def test_decode_failure_returns_none(tmp_path):
+    bad = tmp_path / "nope.mp4"
+    bad.write_bytes(b"not a video")
+    assert decoder.decode_clip(str(bad), 8, 2, 0, 10, 30, 64, False) is None
+
+
+def test_kinetics_dataset_end_to_end(fixture_video, tmp_path):
+    """List-file dataset → native decode → canvas sample (kinetics.py flow)."""
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    ddir = tmp_path / "k400"
+    ddir.mkdir()
+    (ddir / "test.csv").write_text(f"{fixture_video} 3\n")
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(ddir)
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 10
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    cfg.MODEL.NUM_CLASSES = 10
+    ds = build_dataset("kinetics", cfg, "test")
+    assert len(ds) == 30  # 1 video × 30 views
+    item = ds[4]  # temporal idx 1, spatial idx 1
+    assert item["frames"].shape == (8, 64, 128, 3)
+    assert item["width"] == 85
+    assert item["label"] == 3
+    assert item["temporal_idx"] == 1 and item["spatial_idx"] == 1
+    # canvas right-padding must be zero
+    assert item["frames"][:, :, 86:].max() == 0

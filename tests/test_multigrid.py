@@ -1,0 +1,103 @@
+"""Multigrid schedule tests (reference math: slowfast/utils/multigrid.py)."""
+
+import numpy as np
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.utils.multigrid import (
+    MultigridSchedule,
+    get_current_long_cycle_shape,
+    short_cycle_batch_sizes,
+    short_cycle_shapes,
+)
+
+
+def mg_cfg():
+    cfg = get_cfg()
+    cfg.TRAIN.BATCH_SIZE = 64
+    cfg.DATA.NUM_FRAMES = 16
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.SOLVER.STEPS = [0, 94, 154, 196]
+    cfg.SOLVER.LRS = [1, 0.1, 0.01, 0.001]
+    cfg.SOLVER.MAX_EPOCH = 239
+    cfg.SOLVER.GAMMA = 0.1
+    cfg.MULTIGRID.LONG_CYCLE = True
+    cfg.MULTIGRID.SHORT_CYCLE = True
+    return cfg
+
+
+def test_long_cycle_schedule_structure():
+    cfg = mg_cfg()
+    mg = MultigridSchedule()
+    cfg = mg.init_multigrid(cfg)
+    sched = mg.schedule
+    assert sched is not None and len(sched) == 3 * 4 + 1  # 3 steps × 4 shapes + ft
+    # epochs strictly increasing
+    epochs = [s[-1] for s in sched]
+    assert all(b > a for a, b in zip(epochs, epochs[1:]))
+    # first shape is the smallest (B big, T/S small), last is the default
+    assert sched[-1][1][1] == cfg.MULTIGRID.DEFAULT_T
+    assert sched[-1][1][2] == cfg.MULTIGRID.DEFAULT_S
+    # relative batch factor × T × S² ≈ default T × S² for every shape
+    d = cfg.MULTIGRID.DEFAULT_T * cfg.MULTIGRID.DEFAULT_S ** 2
+    for _, (b, t, s), _ in sched:
+        assert 0.5 < (b * t * s * s) / d < 1.5
+    # MAX_EPOCH rewritten to the schedule end, STEPS/LRS consistent
+    assert cfg.SOLVER.MAX_EPOCH == sched[-1][-1]
+    assert len(cfg.SOLVER.LRS) == len(cfg.SOLVER.STEPS)
+
+
+def test_update_long_cycle_changes_shape_and_bn():
+    cfg = mg_cfg()
+    mg = MultigridSchedule()
+    cfg = mg.init_multigrid(cfg)
+    cfg, changed = mg.update_long_cycle(cfg, cur_epoch=0)
+    assert changed
+    # first phase: small T/S, big batch → sub-BN splitting
+    assert cfg.DATA.NUM_FRAMES < cfg.MULTIGRID.DEFAULT_T or \
+        cfg.DATA.TRAIN_CROP_SIZE < cfg.MULTIGRID.DEFAULT_S
+    assert cfg.TRAIN.BATCH_SIZE > cfg.MULTIGRID.DEFAULT_B
+    assert cfg.BN.NORM_TYPE == "sub_batchnorm"
+    # same epoch again: no change
+    cfg, changed = mg.update_long_cycle(cfg, cur_epoch=0)
+    assert not changed
+    # last epoch: default shape restored
+    cfg, changed = mg.update_long_cycle(cfg, cur_epoch=cfg.SOLVER.MAX_EPOCH - 1)
+    assert changed
+    assert cfg.DATA.NUM_FRAMES == cfg.MULTIGRID.DEFAULT_T
+    assert cfg.DATA.TRAIN_CROP_SIZE == cfg.MULTIGRID.DEFAULT_S
+
+
+def test_short_cycle_shapes_and_batches():
+    cfg = mg_cfg()
+    cfg.MULTIGRID.DEFAULT_S = 224
+    shapes = short_cycle_shapes(cfg)
+    assert shapes[2] == 224 and shapes[0] == 112 and shapes[1] == 158
+    bs = short_cycle_batch_sizes(cfg)
+    assert bs[2] == 64
+    # B·S² constant: bigger batches for smaller crops
+    assert bs[0] == int(round(64 * (224 / 112) ** 2))
+
+
+def test_short_cycle_loader_phases():
+    from efficient_slowfast_tpu.data.loader import construct_loader
+
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 45]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MULTIGRID.SHORT_CYCLE = True
+    cfg.MULTIGRID.DEFAULT_S = 32
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+    loader = construct_loader(cfg, "train")
+    phases, sizes = [], []
+    for batch in loader:
+        phases.append(int(batch["_phase"]))
+        sizes.append(batch["frames"].shape[0])
+    assert phases[:3] == [0, 1, 2]
+    expected = short_cycle_batch_sizes(cfg)
+    assert sizes[0] == expected[0] and sizes[2] == expected[2]
