@@ -51,6 +51,21 @@ def make_train_preprocess(cfg, crop_size=None):
     return pre
 
 
+def make_detection_preprocess(cfg):
+    """Detection (AVA): normalize + pathway-pack only — boxes are in canvas
+    pixel coordinates, so no device-side spatial crop is applied (host does
+    detection augmentation where boxes and frames transform together)."""
+    mean = tuple(cfg.DATA.MEAN)
+    std = tuple(cfg.DATA.STD)
+
+    @jax.jit
+    def pre(frames):
+        x = T.tensor_normalize(frames, mean, std)
+        return pack_pathway_output(cfg, x)
+
+    return pre
+
+
 def make_test_preprocess(cfg):
     mean = tuple(cfg.DATA.MEAN)
     std = tuple(cfg.DATA.STD)

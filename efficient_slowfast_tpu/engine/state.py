@@ -51,9 +51,16 @@ def pathway_inputs(cfg, batch_size, dtype=jnp.float32):
 def create_train_state(cfg, model, rng, example_inputs=None):
     if example_inputs is None:
         example_inputs = pathway_inputs(cfg, batch_size=2)
+    init_args = (example_inputs,)
+    if cfg.DETECTION.ENABLE:
+        # (R, 5) example rois: [batch_idx, x1, y1, x2, y2]
+        rois = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 0.0, 8.0, 8.0]], jnp.float32), (4, 1)
+        )
+        init_args = (example_inputs, rois)
     variables = jax.jit(
         functools.partial(model.init, train=False)
-    )({"params": rng, "dropout": rng}, example_inputs)
+    )({"params": rng, "dropout": rng}, *init_args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx, opt_state = construct_optimizer(cfg, params)
@@ -150,3 +157,70 @@ def shard_state(state: TrainState, mesh) -> TrainState:
     """Replicate train state over the mesh (params/opt state replicated)."""
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+def _flatten_rois(boxes):
+    """(B, MAX_BOXES, 4) canvas-pixel boxes → (B*MAX, 5) [batch_idx, x1y1x2y2]."""
+    b, m, _ = boxes.shape
+    idx = jnp.repeat(jnp.arange(b, dtype=boxes.dtype), m)[:, None]
+    return jnp.concatenate([idx, boxes.reshape(b * m, 4)], axis=1)
+
+
+def make_detection_train_step(cfg, model, tx) -> Callable:
+    """AVA detection train step: masked BCE over padded per-sample boxes.
+
+    The reference computes the loss on post-activation scores with
+    cfg.MODEL.LOSS_FUNC = "bce" (tools/train_net.py + head act, reference
+    head_helper.py:126-129); padded boxes are masked out of the mean.
+    """
+    from ..models.losses import get_loss_func
+
+    loss_fn = get_loss_func(cfg.MODEL.LOSS_FUNC)
+    donate = cfg.TPU.DONATE
+
+    def step(state: TrainState, inputs, boxes, labels, mask, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rois = _flatten_rois(boxes)
+        flat_labels = labels.reshape(-1, labels.shape[-1])
+        flat_mask = mask.reshape(-1)
+
+        def compute_loss(params):
+            preds, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                inputs, rois, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            per_box = -(
+                flat_labels * jnp.log(jnp.clip(preds, 1e-7, 1.0))
+                + (1.0 - flat_labels) * jnp.log(jnp.clip(1.0 - preds, 1e-7, 1.0))
+            ).mean(axis=-1)
+            loss = (per_box * flat_mask).sum() / jnp.maximum(flat_mask.sum(), 1.0)
+            return loss, (preds, new_model_state)
+
+        (loss, (preds, new_model_state)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state._replace(
+            hyperparams={**state.opt_state.hyperparams,
+                         "learning_rate": jnp.asarray(lr, jnp.float32)}
+        )
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss, "lr": jnp.asarray(lr, jnp.float32)}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_detection_forward(cfg, model) -> Callable:
+    """Jitted (variables, inputs, boxes) → per-box class scores."""
+
+    def fwd(variables, inputs, boxes):
+        rois = _flatten_rois(boxes)
+        return model.apply(variables, inputs, rois, train=False)
+
+    return jax.jit(fwd)

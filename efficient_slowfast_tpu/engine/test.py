@@ -58,6 +58,10 @@ def test(cfg):
     state = cu.load_test_checkpoint(cfg, state)
 
     loader = construct_loader(cfg, "test")
+
+    if cfg.DETECTION.ENABLE:
+        return _test_detection(cfg, state, model, loader, mesh)
+
     num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     num_items = len(loader.dataset)
     assert num_items % num_clips == 0, (
@@ -74,3 +78,29 @@ def test(cfg):
     )
     stats = perform_test(cfg, state, model, loader, meter, mesh)
     return stats
+
+
+def _test_detection(cfg, state, model, loader, mesh):
+    """AVA detection test: full-dataset mAP (reference test_net.py detection)."""
+    from ..data.preprocess import make_detection_preprocess
+    from ..utils.meters import AVAMeter
+    from .state import make_detection_forward
+
+    preprocess = make_detection_preprocess(cfg)
+    fwd = make_detection_forward(cfg, model)
+    meter = AVAMeter(len(loader), cfg, mode="test")
+    meter.video_idx_to_name = getattr(loader.dataset, "_video_idx_to_name", None)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for cur_iter, batch in enumerate(loader):
+        inputs = preprocess(shard_batch(mesh, batch["frames"]))
+        boxes = shard_batch(mesh, batch["boxes"])
+        preds = np.asarray(jax.device_get(fwd(variables, inputs, boxes)))
+        m = np.asarray(batch["box_mask"]).reshape(-1) > 0
+        ori = np.asarray(batch["ori_boxes"]).reshape(-1, 4)[m]
+        meta = np.repeat(np.asarray(batch["metadata"]),
+                         batch["boxes"].shape[1], axis=0)[m]
+        ori5 = np.concatenate([np.zeros((len(ori), 1)), ori], axis=1)
+        meter.update_stats(preds[m], ori5, meta)
+        meter.log_iter_stats(None, cur_iter)
+    mAP = meter.finalize_metrics()
+    return {"map": mAP}

@@ -131,6 +131,10 @@ def train(cfg: CfgNode):
         construct_loader(cfg, "train") if cfg.BN.USE_PRECISE_STATS else None
     )
 
+    if cfg.DETECTION.ENABLE:
+        return _train_detection(cfg, model, state, tx, train_loader, val_loader,
+                                mesh, rng, start_epoch)
+
     train_step = make_train_step(cfg, model, tx)
     eval_step = make_eval_step(cfg, model)
     preprocess = make_train_preprocess(cfg)
@@ -177,6 +181,65 @@ def train(cfg: CfgNode):
         if _is_eval_epoch(cfg, cur_epoch, multigrid.schedule if multigrid else None):
             eval_epoch(cfg, state, eval_step, preprocess, val_loader, val_meter,
                        cur_epoch, mesh, rng)
+    return state
+
+
+def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
+                     rng, start_epoch):
+    """AVA detection training loop (reference train_net.py detection branch)."""
+    from ..data.preprocess import make_detection_preprocess
+    from ..utils.meters import AVAMeter
+    from .state import make_detection_forward, make_detection_train_step
+
+    step = make_detection_train_step(cfg, model, tx)
+    fwd = make_detection_forward(cfg, model)
+    preprocess = make_detection_preprocess(cfg)
+    train_meter = AVAMeter(len(train_loader), cfg, mode="train")
+    val_meter = AVAMeter(len(val_loader), cfg, mode="val")
+    val_meter.video_idx_to_name = getattr(
+        val_loader.dataset, "_video_idx_to_name", None
+    )
+
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        shuffle_dataset(train_loader, cur_epoch)
+        data_size = len(train_loader)
+        train_meter.iter_tic()
+        for cur_iter, batch in enumerate(train_loader):
+            lr = lr_policy.get_lr_at_epoch(
+                cfg, cur_epoch + float(cur_iter) / data_size
+            )
+            inputs = preprocess(shard_batch(mesh, batch["frames"]))
+            boxes = shard_batch(mesh, batch["boxes"])
+            labels = shard_batch(mesh, batch["box_labels"])
+            mask = shard_batch(mesh, batch["box_mask"])
+            state, mets = step(state, inputs, boxes, labels, mask, lr, rng)
+            mets = jax.device_get(mets)
+            check_nan_losses(float(mets["loss"]))
+            train_meter.update_stats(None, None, None,
+                                     loss=float(mets["loss"]), lr=float(mets["lr"]))
+            train_meter.log_iter_stats(cur_epoch, cur_iter)
+        train_meter.iter_toc()
+        train_meter.reset()
+
+        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if _is_eval_epoch(cfg, cur_epoch):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            for cur_iter, batch in enumerate(val_loader):
+                inputs = preprocess(shard_batch(mesh, batch["frames"]))
+                boxes = shard_batch(mesh, batch["boxes"])
+                preds = np.asarray(jax.device_get(fwd(variables, inputs, boxes)))
+                m = np.asarray(batch["box_mask"]).reshape(-1) > 0
+                ori = np.asarray(batch["ori_boxes"]).reshape(-1, 4)[m]
+                meta = np.repeat(np.asarray(batch["metadata"]),
+                                 batch["boxes"].shape[1], axis=0)[m]
+                ori5 = np.concatenate(
+                    [np.zeros((len(ori), 1)), ori], axis=1
+                )
+                val_meter.update_stats(preds[m], ori5, meta)
+                val_meter.log_iter_stats(cur_epoch, cur_iter)
+            val_meter.log_epoch_stats(cur_epoch)
+            val_meter.reset()
     return state
 
 

@@ -307,3 +307,102 @@ def get_map(preds: np.ndarray, labels: np.ndarray) -> float:
     except ValueError:
         pass
     return float(np.mean(aps))
+
+
+class AVAMeter:
+    """Detection meter running the full AVA mAP evaluation
+    (reference: meters.py:46-213). Accumulates post-sigmoid box scores,
+    original normalized boxes and (video_idx, sec) metadata, then calls the
+    numpy evaluator at finalize."""
+
+    def __init__(self, overall_iters, cfg, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.overall_iters = overall_iters
+        self.iter_timer = Timer()
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.lr = None
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+        self.full_map = float("nan")
+
+        from .ava_eval_helper import read_csv, read_exclusions, read_labelmap
+        import os
+
+        self.excluded_keys = read_exclusions(
+            os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.EXCLUSION_FILE)
+            if cfg.AVA.EXCLUSION_FILE else None
+        )
+        self.categories, self.class_whitelist = read_labelmap(
+            os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.LABEL_MAP_FILE)
+        )
+        gt_filename = os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.GROUNDTRUTH_FILE)
+        self.full_groundtruth = read_csv(gt_filename, self.class_whitelist)
+        self.video_idx_to_name = None  # set by the engine
+
+    def reset(self):
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def update_stats(self, preds, ori_boxes, metadata, loss=None, lr=None):
+        if self.mode in ("val", "test"):
+            self.all_preds.append(np.asarray(preds))
+            self.all_ori_boxes.append(np.asarray(ori_boxes))
+            self.all_metadata.append(np.asarray(metadata))
+        if loss is not None:
+            self.loss.add_value(float(loss))
+        if lr is not None:
+            self.lr = lr
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        stats = {
+            "_type": f"{self.mode}_iter",
+            "cur_epoch": str(cur_epoch + 1) if cur_epoch is not None else "",
+            "cur_iter": f"{cur_iter + 1}",
+            "time_diff": self.iter_timer.seconds(),
+            "mode": self.mode,
+        }
+        if self.mode == "train":
+            stats["loss"] = self.loss.get_win_median()
+            stats["lr"] = self.lr
+        log_json_stats(stats)
+
+    def finalize_metrics(self, log: bool = True):
+        from .ava_eval_helper import evaluate_ava
+
+        if not self.all_preds:
+            return float("nan")
+        preds = np.concatenate(self.all_preds, axis=0)
+        ori_boxes = np.concatenate(self.all_ori_boxes, axis=0)
+        metadata = np.concatenate(self.all_metadata, axis=0)
+        self.full_map = evaluate_ava(
+            preds, ori_boxes, metadata,
+            self.excluded_keys, self.class_whitelist, self.categories,
+            groundtruth=self.full_groundtruth,
+            video_idx_to_name=self.video_idx_to_name,
+        )
+        if log:
+            log_json_stats({"_type": f"{self.mode}_final", "mode": self.mode,
+                            "map": self.full_map})
+        return self.full_map
+
+    def log_epoch_stats(self, cur_epoch):
+        if self.mode in ("val", "test"):
+            self.finalize_metrics(log=False)
+            log_json_stats({
+                "_type": f"{self.mode}_epoch",
+                "cur_epoch": str(cur_epoch + 1),
+                "mode": self.mode,
+                "map": self.full_map,
+            })
+            return self.full_map

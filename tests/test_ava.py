@@ -1,0 +1,182 @@
+"""AVA evaluation + dataset tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from efficient_slowfast_tpu.utils.ava_evaluation import (
+    PascalDetectionEvaluator, average_precision, box_iou,
+)
+
+
+def test_box_iou():
+    a = np.array([[0, 0, 10, 10]], float)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], float)
+    iou = box_iou(a, b)[0]
+    assert iou[0] == pytest.approx(1.0)
+    assert iou[1] == pytest.approx(25 / 175)
+    assert iou[2] == 0.0
+
+
+def test_average_precision_perfect_and_half():
+    # perfect ranking: AP = 1
+    assert average_precision(np.array([1.0, 1.0]), np.array([0.5, 1.0])) == 1.0
+    # single detection covering half the GT: AP = 0.5
+    assert average_precision(np.array([1.0]), np.array([0.5])) == pytest.approx(0.5)
+
+
+def test_evaluator_known_map():
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    ev = PascalDetectionEvaluator(cats)
+    # image 1: one GT of class 1, one of class 2
+    ev.add_single_ground_truth_image_info("img1", {
+        "boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float),
+        "classes": np.array([1, 2]),
+    })
+    # class 1: perfect detection; class 2: detection misses (low IoU)
+    ev.add_single_detected_image_info("img1", {
+        "boxes": np.array([[0, 0, 10, 10], [25, 25, 50, 50]], float),
+        "classes": np.array([1, 2]),
+        "scores": np.array([0.9, 0.8]),
+    })
+    res = ev.evaluate()
+    assert res["PascalBoxes_PerformanceByCategory/AP@0.5IOU/a"] == pytest.approx(1.0)
+    assert res["PascalBoxes_PerformanceByCategory/AP@0.5IOU/b"] == pytest.approx(0.0)
+    assert res["PascalBoxes_Precision/mAP@0.5IOU"] == pytest.approx(0.5)
+
+
+def test_duplicate_detection_is_fp():
+    cats = [{"id": 1, "name": "a"}]
+    ev = PascalDetectionEvaluator(cats)
+    ev.add_single_ground_truth_image_info("i", {
+        "boxes": np.array([[0, 0, 10, 10]], float), "classes": np.array([1]),
+    })
+    ev.add_single_detected_image_info("i", {
+        "boxes": np.array([[0, 0, 10, 10], [0, 0, 10, 10]], float),
+        "classes": np.array([1, 1]),
+        "scores": np.array([0.9, 0.8]),
+    })
+    res = ev.evaluate()
+    # 1 TP at rank 1 (P=1, R=1), dup is FP → AP still 1.0 under VOC envelope
+    assert res["PascalBoxes_Precision/mAP@0.5IOU"] == pytest.approx(1.0)
+
+
+@pytest.fixture()
+def ava_fixture(tmp_path):
+    """Synthesize a 2-video AVA mini-dataset: jpg frames + lists + csvs."""
+    from PIL import Image
+
+    frame_dir = tmp_path / "frames"
+    list_dir = tmp_path / "lists"
+    ann_dir = tmp_path / "ann"
+    for d in (frame_dir, list_dir, ann_dir):
+        d.mkdir()
+
+    n_frames = 160
+    lists = ["original_vido_id video_id frame_id path labels"]
+    for v, name in enumerate(["vidA", "vidB"]):
+        vdir = frame_dir / name
+        vdir.mkdir()
+        for i in range(n_frames):
+            img = Image.fromarray(
+                np.full((64, 96, 3), (v * 50 + i) % 255, np.uint8))
+            rel = f"{name}/{name}_{i + 1:06d}.jpg"
+            img.save(frame_dir / rel)
+            lists.append(f"{name} {v} {i} {rel} \"\"")
+    (list_dir / "train.csv").write_text("\n".join(lists) + "\n")
+    (list_dir / "val.csv").write_text("\n".join(lists) + "\n")
+
+    # keyframe at sec 902 (frame idx 60) for each video
+    gt_rows = [
+        "vidA,902,0.1,0.1,0.6,0.9,5,1",
+        "vidA,902,0.5,0.2,0.9,0.8,12,2",
+        "vidB,902,0.2,0.3,0.7,0.9,5,3",
+    ]
+    (ann_dir / "gt.csv").write_text("\n".join(gt_rows) + "\n")
+    (ann_dir / "pred.csv").write_text(
+        "\n".join(r + ",0.99" for r in
+                  ["vidA,902,0.1,0.1,0.6,0.9,",
+                   "vidA,902,0.5,0.2,0.9,0.8,",
+                   "vidB,902,0.2,0.3,0.7,0.9,"]).replace(",,", ",-1,")
+        .replace(",-1,0.99", ",,0.99") + "\n")
+    labelmap = "".join(
+        f"item {{\n  name: \"act{i}\"\n  id: {i}\n}}\n" for i in (5, 12)
+    )
+    (ann_dir / "label_map.pbtxt").write_text(labelmap)
+    (ann_dir / "excl.csv").write_text("")
+    return dict(frame_dir=frame_dir, list_dir=list_dir, ann_dir=ann_dir)
+
+
+def ava_cfg(fx):
+    from efficient_slowfast_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DETECTION.ENABLE = True
+    cfg.AVA.FRAME_DIR = str(fx["frame_dir"])
+    cfg.AVA.FRAME_LIST_DIR = str(fx["list_dir"])
+    cfg.AVA.ANNOTATION_DIR = str(fx["ann_dir"])
+    cfg.AVA.TRAIN_GT_BOX_LISTS = ["gt.csv"]
+    cfg.AVA.TEST_PREDICT_BOX_LISTS = ["gt.csv"]
+    cfg.AVA.LABEL_MAP_FILE = "label_map.pbtxt"
+    cfg.AVA.EXCLUSION_FILE = "excl.csv"
+    cfg.AVA.GROUNDTRUTH_FILE = "gt.csv"
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 40]
+    cfg.MODEL.NUM_CLASSES = 80
+    return cfg
+
+
+def test_ava_dataset_loads_keyframes(ava_fixture):
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    cfg = ava_cfg(ava_fixture)
+    ds = build_dataset("ava", cfg, "train")
+    assert len(ds) == 2  # one labeled keyframe per video
+    item = ds[0]
+    assert item["frames"].shape == (4, 32, 64, 3)
+    assert item["box_mask"].sum() == 2  # vidA has 2 boxes
+    assert item["box_labels"][0, 4] == 1.0  # action 5 → index 4
+    assert item["metadata"].tolist() == [0, 902]
+    # boxes scaled to canvas pixels within content width
+    assert 0 <= item["boxes"][0][0] <= item["width"]
+
+
+def test_labelmap_and_exclusions(ava_fixture):
+    from efficient_slowfast_tpu.utils.ava_eval_helper import (
+        read_csv, read_exclusions, read_labelmap,
+    )
+
+    cats, ids = read_labelmap(str(ava_fixture["ann_dir"] / "label_map.pbtxt"))
+    assert ids == {5, 12}
+    boxes, labels, scores = read_csv(
+        str(ava_fixture["ann_dir"] / "gt.csv"), ids)
+    assert "vidA,0902" in boxes and len(boxes["vidA,0902"]) == 2
+    assert read_exclusions(str(ava_fixture["ann_dir"] / "excl.csv")) == set()
+
+
+def test_full_ava_evaluation_perfect_predictions(ava_fixture):
+    """Feeding GT boxes with score 1 for their GT classes must give mAP 1."""
+    from efficient_slowfast_tpu.utils.ava_eval_helper import (
+        evaluate_ava, read_csv, read_labelmap,
+    )
+
+    ann = ava_fixture["ann_dir"]
+    cats, ids = read_labelmap(str(ann / "label_map.pbtxt"))
+    gt = read_csv(str(ann / "gt.csv"), ids)
+    # detections: every GT box with high score on its class, low elsewhere
+    preds = np.full((3, 80), 0.01)
+    preds[0, 4] = 0.9    # vidA box1 action 5
+    preds[1, 11] = 0.9   # vidA box2 action 12
+    preds[2, 4] = 0.9    # vidB box action 5
+    boxes = np.array([
+        [0, 0.1, 0.1, 0.6, 0.9],
+        [0, 0.5, 0.2, 0.9, 0.8],
+        [0, 0.2, 0.3, 0.7, 0.9],
+    ])
+    metadata = np.array([[0, 902], [0, 902], [1, 902]])
+    mAP = evaluate_ava(preds, boxes, metadata, set(), ids, cats,
+                       groundtruth=gt, video_idx_to_name=["vidA", "vidB"])
+    assert mAP == pytest.approx(1.0)
