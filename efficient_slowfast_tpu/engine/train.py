@@ -39,7 +39,7 @@ def check_nan_losses(loss: float):
 
 
 def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
-                mesh, rng):
+                mesh, rng, writer=None):
     data_size = len(loader)
     meter.iter_tic()
     pending = []  # (iter, device metrics) — sync LOG_PERIOD behind
@@ -75,6 +75,17 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
                     loss, float(m["lr"]), bs * max(cfg.NUM_SHARDS, 1),
                 )
                 meter.log_iter_stats(cur_epoch, it)
+                if writer is not None:
+                    writer.add_scalars(
+                        {
+                            "Train/loss": loss,
+                            "Train/lr": float(m["lr"]),
+                            "Train/Top1_err": float(m.get("top1_err", 0.0)),
+                            "Train/Top5_err": float(
+                                m.get(f"top{cfg.TRAIN.TOPK}_err", 0.0)),
+                        },
+                        global_step=data_size * cur_epoch + it,
+                    )
             pending = []
     meter.iter_toc()
     meter.log_epoch_stats(cur_epoch)
@@ -142,6 +153,12 @@ def train(cfg: CfgNode):
     train_meter = TrainMeter(len(train_loader), cfg)
     val_meter = ValMeter(len(val_loader), cfg)
 
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
+        from ..visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
@@ -161,7 +178,7 @@ def train(cfg: CfgNode):
         shuffle_dataset(train_loader, cur_epoch)
         state = train_epoch(
             cfg, state, train_step, preprocess, train_loader, train_meter,
-            cur_epoch, mesh, rng,
+            cur_epoch, mesh, rng, writer=writer,
         )
 
         if cfg.BN.USE_PRECISE_STATS and precise_bn_loader is not None:
@@ -179,8 +196,13 @@ def train(cfg: CfgNode):
         ):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
         if _is_eval_epoch(cfg, cur_epoch, multigrid.schedule if multigrid else None):
-            eval_epoch(cfg, state, eval_step, preprocess, val_loader, val_meter,
-                       cur_epoch, mesh, rng)
+            top1 = eval_epoch(cfg, state, eval_step, preprocess, val_loader,
+                              val_meter, cur_epoch, mesh, rng)
+            if writer is not None:
+                writer.add_scalars({"Val/Top1_err": top1},
+                                   global_step=cur_epoch)
+    if writer is not None:
+        writer.close()
     return state
 
 

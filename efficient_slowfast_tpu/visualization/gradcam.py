@@ -1,0 +1,130 @@
+"""Grad-CAM for video models (reference: wdf_visualization/gradcam_video.py).
+
+The reference registers torch forward/backward hooks on a target layer
+(:59-118). The JAX formulation: with ``jax.grad`` the activation gradient is
+obtained by re-running the model under ``flax.linen.intercept_methods`` with
+an interceptor that RETURNS an explicit tensor as the target module's output —
+differentiating the score w.r.t. that tensor is exactly d(score)/d(activation)
+with no hooks and no mutable state.
+
+CAM = ReLU( Σ_c mean_{T,H,W}(dscore/dA_c) · A_c ), per the Grad-CAM paper and
+the reference's generate_cam_videos (:120-225).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _capture_activation(model, variables, inputs, target_path: str):
+    """Forward pass capturing the target module's output."""
+    box: dict = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if context.module.path and "/".join(context.module.path) == target_path:
+            if context.method_name == "__call__":
+                box["act"] = out
+        return out
+
+    with nn.intercept_methods(interceptor):
+        preds = model.apply(variables, inputs, train=False)
+    if "act" not in box:
+        raise KeyError(
+            f"target layer '{target_path}' not found; module paths are "
+            "slash-joined flax paths like 's5/pathway0_res2'"
+        )
+    return preds, box["act"]
+
+
+def _score_with_injection(model, variables, inputs, target_path: str,
+                          activation, class_idx):
+    """Score of class_idx with the target module's output replaced."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if (context.module.path
+                and "/".join(context.module.path) == target_path
+                and context.method_name == "__call__"):
+            return activation
+        return out
+
+    with nn.intercept_methods(interceptor):
+        preds = model.apply(variables, inputs, train=False)
+    return preds[jnp.arange(preds.shape[0]), class_idx].sum()
+
+
+class GradCAM:
+    """Grad-CAM heatmaps for a target layer of a video model.
+
+    target_layer: slash-joined flax module path, e.g. "s5/pathway0_res2"
+    (reference README documents per-backbone target layers)."""
+
+    def __init__(self, model, variables, target_layer: str):
+        self.model = model
+        self.variables = variables
+        self.target = target_layer
+
+    def __call__(self, inputs, class_idx: Optional[np.ndarray] = None):
+        preds, act = _capture_activation(
+            self.model, self.variables, inputs, self.target
+        )
+        if class_idx is None:
+            class_idx = jnp.argmax(preds, axis=-1)
+        grad_fn = jax.grad(
+            lambda a: _score_with_injection(
+                self.model, self.variables, inputs, self.target, a, class_idx
+            )
+        )
+        grads = grad_fn(act)
+
+        def cam_of(a, g):
+            # channel weights: global-average gradient (B, 1, 1, 1, C)
+            weights = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+            cam = nn.relu(jnp.sum(weights * a, axis=-1))  # (B, T, H, W)
+            cmin = cam.min(axis=(1, 2, 3), keepdims=True)
+            cmax = cam.max(axis=(1, 2, 3), keepdims=True)
+            return (cam - cmin) / jnp.maximum(cmax - cmin, 1e-8)
+
+        # target module may emit a single tensor or a pathway list
+        cams = jax.tree_util.tree_map(cam_of, act, grads)
+        cams = jax.tree_util.tree_map(np.asarray, cams)
+        return np.asarray(preds), cams
+
+
+def overlay_heatmap(frames: np.ndarray, cam: np.ndarray,
+                    alpha: float = 0.5) -> np.ndarray:
+    """Blend per-frame heatmaps onto uint8 frames (reference:
+    wdf_visualization/misc_functions.py heatmap overlay).
+
+    frames (T, H, W, 3) uint8; cam (T', h, w) in [0, 1] — temporally and
+    spatially resized to the frames with nearest/bilinear interpolation."""
+    from PIL import Image
+
+    t, h, w, _ = frames.shape
+    tc = cam.shape[0]
+    out = np.empty_like(frames)
+    for i in range(t):
+        ci = min(int(round(i * (tc - 1) / max(t - 1, 1))), tc - 1)
+        heat = np.asarray(
+            Image.fromarray((cam[ci] * 255).astype(np.uint8)).resize(
+                (w, h), Image.BILINEAR
+            ),
+            np.float32,
+        ) / 255.0
+        # simple jet-like colormap: red↑ with heat, blue↓
+        color = np.stack([
+            heat * 255.0,
+            np.maximum(0.0, 1.0 - np.abs(heat - 0.5) * 2) * 255.0,
+            (1.0 - heat) * 255.0,
+        ], axis=-1)
+        out[i] = np.clip(
+            (1 - alpha) * frames[i].astype(np.float32) + alpha * color, 0, 255
+        ).astype(np.uint8)
+    return out
