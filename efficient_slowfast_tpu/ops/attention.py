@@ -42,10 +42,19 @@ class SpatialAttention(nn.Module):
         q = q.reshape(b, n, inner)
         k = k.reshape(b, n, inner)
         v = v.reshape(b, n, c)
-        # attention[i, j] = softmax_j(q_i · k_j)  (reference softmax over dim=-1)
-        logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
-        attn = nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v, preferred_element_type=jnp.float32)
+        # attention[i, j] = softmax_j(q_i · k_j)  (reference softmax over
+        # dim=-1, unscaled). Large token counts go through the flash-style
+        # path so the (N, N) affinity never hits HBM (ops/pallas).
+        if n > 1024:
+            from .pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, t, h, w, c).astype(x.dtype)
         return gamma.astype(x.dtype) * out + x
 
