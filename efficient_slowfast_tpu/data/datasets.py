@@ -258,6 +258,57 @@ class Jester(ClipDataset):
 
 
 @DATASET_REGISTRY.register()
+class Framefolder(ClipDataset):
+    """Frame-folder clips: each list line is ``dir_of_jpgs label``; frames are
+    the sorted images inside. Covers the reference's private wheel/tired/smoke
+    datasets' layout (reference: decoder.py wheel_decoder* :476-1041 — frame
+    folders read with cv2 + optional grayscale styling via DATA.HALF_FACE)."""
+
+    LIST_FILES = {"train": "train.txt", "val": "val.txt", "test": "val.txt"}
+
+    def _decode_clip(self, index: int, temporal_idx: int):
+        path = self._path_to_videos[index]
+        if path.startswith("synthetic://"):
+            return super()._decode_clip(index, temporal_idx)
+        import glob
+
+        from .frame_datasets import retry_load_images
+
+        files = sorted(
+            glob.glob(os.path.join(path, "*.jpg"))
+            + glob.glob(os.path.join(path, "*.png"))
+        )
+        if not files:
+            return None
+        cfg = self.cfg
+        num_frames = cfg.DATA.NUM_FRAMES
+        clip_size = cfg.DATA.SAMPLING_RATE * num_frames
+        start, end = get_start_end_idx(
+            len(files), clip_size,
+            -1 if self.mode in ("train", "val") else temporal_idx,
+            cfg.TEST.NUM_ENSEMBLE_VIEWS,
+        )
+        idx = np.clip(
+            np.round(np.linspace(start, end, num_frames)), 0, len(files) - 1
+        ).astype(np.int64)
+        frames = retry_load_images([files[i] for i in idx], self._num_retries)
+        if cfg.DATA.HALF_FACE:
+            # top-half crop (reference: tired dataset half-face option)
+            frames = frames[:, : frames.shape[1] // 2]
+        return frames
+
+
+@DATASET_REGISTRY.register()
+class Wheel(Framefolder):
+    """Steering-wheel dataset alias (reference: datasets/wheel*)."""
+
+
+@DATASET_REGISTRY.register()
+class Tired(Framefolder):
+    """Fatigue/eye-state dataset alias (reference: datasets/tired*)."""
+
+
+@DATASET_REGISTRY.register()
 class Synthetic(ClipDataset):
     """Pure synthetic frames for tests/benchmarks regardless of backend."""
 

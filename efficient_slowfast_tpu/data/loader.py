@@ -107,7 +107,14 @@ class ClipLoader:
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
-        if self.shuffle:
+        weights = getattr(self.dataset, "sample_weights", None)
+        if self.shuffle and weights is not None:
+            # weighted random sampling with replacement
+            # (reference: MODEL.WEIGHTED_RANDOM_SAMPLER, custom_config.py)
+            rs = np.random.RandomState(self.seed + self._epoch)
+            p = np.asarray(weights, np.float64)
+            idx = rs.choice(n, size=n, replace=True, p=p / p.sum())
+        elif self.shuffle:
             rs = np.random.RandomState(self.seed + self._epoch)
             rs.shuffle(idx)
         # per-host shard (multi-host data parallelism)

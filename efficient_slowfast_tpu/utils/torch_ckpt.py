@@ -103,6 +103,170 @@ def _parent_is_block(seg: str) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Efficient-backbone name tables. The reference builds these models from
+# nn.Sequential chains, so torch names carry numeric indices and channel-count
+# module names (e.g. "s2.pathway0_channel_224.features.0.banch2.0.weight",
+# reference: shufflenetv2_helper.py:222-297). The tables map OUR module-path
+# prefixes (leaf wrapper stripped) to the torch layer prefix; leaf suffixes
+# (.weight/.bias/.running_*) are appended afterwards.
+# ---------------------------------------------------------------------------
+
+def efficient_prefix_table(cfg) -> Dict[str, str]:
+    name = cfg.MODEL.MODEL_NAME
+    beta = cfg.SLOWFAST.BETA_INV
+    wm = float(cfg.SLOWFAST.WIDTH_MULTI)
+    t: Dict[str, str] = {}
+
+    if name == "SlowFastShuffleNetV2":
+        tables = {0.25: [-1, 24, 32, 64, 128, 1024],
+                  0.5: [-1, 24, 48, 96, 192, 1024],
+                  1.0: [-1, 24, 116, 240, 464, 1024],
+                  1.5: [-1, 24, 176, 352, 704, 1024],
+                  2.0: [-1, 24, 224, 496, 976, 2048]}
+        slow = tables[wm]
+        fast = [c // beta if c > 0 else c for c in slow]
+        reps = [4, 8, 4]
+        for p in (0, 1):
+            t[f"s1/pathway{p}_stem/conv"] = f"s1.pathway{p}_stem.0"
+            t[f"s1/pathway{p}_stem/bn"] = f"s1.pathway{p}_stem.1"
+            ch = slow if p == 0 else fast
+            for si, sname in enumerate(("s2", "s3", "s4")):
+                base = f"{sname}.pathway{p}_channel_{ch[si + 2]}.features"
+                for i in range(reps[si]):
+                    ours = f"{sname}/pathway{p}_block{i}"
+                    tm = f"{base}.{i}"
+                    if i == 0:
+                        t[f"{ours}/banch1_dw/conv"] = f"{tm}.banch1.0"
+                        t[f"{ours}/banch1_dw/bn"] = f"{tm}.banch1.1"
+                        t[f"{ours}/banch1_pwl/conv"] = f"{tm}.banch1.2"
+                        t[f"{ours}/banch1_pwl/bn"] = f"{tm}.banch1.3"
+                    t[f"{ours}/banch2_pw/conv"] = f"{tm}.banch2.0"
+                    t[f"{ours}/banch2_pw/bn"] = f"{tm}.banch2.1"
+                    t[f"{ours}/banch2_dw/conv"] = f"{tm}.banch2.3"
+                    t[f"{ours}/banch2_dw/bn"] = f"{tm}.banch2.4"
+                    t[f"{ours}/banch2_pwl/conv"] = f"{tm}.banch2.5"
+                    t[f"{ours}/banch2_pwl/bn"] = f"{tm}.banch2.6"
+            t[f"head/pathway{p}_conv1x1x1/conv"] = f"head.pathway{p}_conv1x1x1.0.0"
+            t[f"head/pathway{p}_conv1x1x1/bn"] = f"head.pathway{p}_conv1x1x1.0.1"
+        t["head/projection"] = "head.classifier.1"
+
+    elif name == "SlowFastShuffleNet":
+        tables = {1: [24, 144, 288, 567], 2: [24, 200, 400, 800],
+                  3: [24, 240, 480, 960], 4: [24, 272, 544, 1088],
+                  8: [24, 384, 768, 1536]}
+        slow = [int(c * wm) for c in tables[cfg.SLOWFAST.GROUPS]]
+        fast = [c // beta for c in slow]
+        reps = [4, 8, 4]
+        for p in (0, 1):
+            t[f"s1/pathway{p}_stem/conv"] = f"s1.pathway{p}_stem.0"
+            t[f"s1/pathway{p}_stem/bn"] = f"s1.pathway{p}_stem.1"
+            ch = slow if p == 0 else fast
+            for si, sname in enumerate(("s2", "s3", "s4")):
+                base = f"{sname}.pathway{p}_channel_{ch[si + 1]}.features"
+                for i in range(reps[si]):
+                    ours = f"{sname}/pathway{p}_block{i}"
+                    tm = f"{base}.{i}"
+                    t[f"{ours}/conv1/conv"] = f"{tm}.conv1"
+                    t[f"{ours}/conv1/bn"] = f"{tm}.bn1"
+                    t[f"{ours}/conv2/conv"] = f"{tm}.conv2"
+                    t[f"{ours}/conv2/bn"] = f"{tm}.bn2"
+                    t[f"{ours}/conv3/conv"] = f"{tm}.conv3"
+                    t[f"{ours}/conv3/bn"] = f"{tm}.bn3"
+                    t[f"{ours}/shortcut_conv"] = f"{tm}.shortcut.0"
+        t["head/projection"] = "head.classifier.1"
+
+    elif name == "SlowFastMoibleNetV2":
+        settings = [(1, 16, 1), (6, 24, 2), (6, 32, 3), (6, 64, 4),
+                    (6, 96, 3), (6, 160, 3), (6, 320, 1)]
+        # stage name → list of setting rows (reference forward layout)
+        layout = {"s2": settings[0:2], "s4": settings[2:3], "s5": settings[3:4],
+                  "s6": settings[4:5], "s7": settings[5:6], "s8": settings[6:]}
+        for p in (0, 1):
+            t[f"s1/pathway{p}_stem/conv"] = f"s1.pathway{p}_stem.features.0"
+            t[f"s1/pathway{p}_stem/bn"] = f"s1.pathway{p}_stem.features.1"
+            for sname, rows in layout.items():
+                c_raw = rows[0][1]
+                base = f"{sname}.pathway{p}_channel_{c_raw}.features"
+                j = 0
+                for ti_, (texp, c, n) in enumerate(rows):
+                    for _ in range(n):
+                        ours = f"{sname}/pathway{p}_block{j}"
+                        tm = f"{base}.{j}.conv"
+                        if texp == 1:
+                            t[f"{ours}/dw/conv"] = f"{tm}.0"
+                            t[f"{ours}/dw/bn"] = f"{tm}.1"
+                            t[f"{ours}/pwl/conv"] = f"{tm}.3"
+                            t[f"{ours}/pwl/bn"] = f"{tm}.4"
+                        else:
+                            t[f"{ours}/pw/conv"] = f"{tm}.0"
+                            t[f"{ours}/pw/bn"] = f"{tm}.1"
+                            t[f"{ours}/dw/conv"] = f"{tm}.3"
+                            t[f"{ours}/dw/bn"] = f"{tm}.4"
+                            t[f"{ours}/pwl/conv"] = f"{tm}.6"
+                            t[f"{ours}/pwl/bn"] = f"{tm}.7"
+                        j += 1
+            t[f"head/pathway{p}_conv1x1x1/conv"] = f"head.pathway{p}_conv1x1x1.0"
+            t[f"head/pathway{p}_conv1x1x1/bn"] = f"head.pathway{p}_conv1x1x1.1"
+        t["head/projection"] = "head.classifier.1"
+
+    elif name == "SlowFastGhostNet":
+        from ..models.ghostnet import _GHOST_STAGE_CFGS
+        from ..models.common_efficient import make_divisible
+
+        for p in (0, 1):
+            scale = wm if p == 0 else wm / beta
+            t[f"s0/pathway{p}_stem/conv"] = f"s0.pathway{p}_stem.0"
+            t[f"s0/pathway{p}_stem/bn"] = f"s0.pathway{p}_stem.1"
+            for si, rows in enumerate(_GHOST_STAGE_CFGS):
+                last_c = make_divisible(
+                    rows[-1][2] * wm // beta, 4) if p == 1 else make_divisible(
+                    rows[-1][2] * wm, 4)
+                base = f"s{si + 1}.pathway{p}_channel_{last_c}.features"
+                for j in range(len(rows)):
+                    ours = f"s{si + 1}/pathway{p}_block{j}"
+                    tm = f"{base}.{j}"
+                    t[f"{ours}/ghost1/primary/conv"] = f"{tm}.ghost1.primary_conv.0"
+                    t[f"{ours}/ghost1/primary/bn"] = f"{tm}.ghost1.primary_conv.1"
+                    t[f"{ours}/ghost1/cheap/conv"] = f"{tm}.ghost1.cheap_operation.0"
+                    t[f"{ours}/ghost1/cheap/bn"] = f"{tm}.ghost1.cheap_operation.1"
+                    t[f"{ours}/conv_dw/conv"] = f"{tm}.conv_dw"
+                    t[f"{ours}/conv_dw/bn"] = f"{tm}.bn_dw"
+                    t[f"{ours}/se/reduce"] = f"{tm}.se.conv_reduce"
+                    t[f"{ours}/se/expand"] = f"{tm}.se.conv_expand"
+                    t[f"{ours}/ghost2/primary/conv"] = f"{tm}.ghost2.primary_conv.0"
+                    t[f"{ours}/ghost2/primary/bn"] = f"{tm}.ghost2.primary_conv.1"
+                    t[f"{ours}/ghost2/cheap/conv"] = f"{tm}.ghost2.cheap_operation.0"
+                    t[f"{ours}/ghost2/cheap/bn"] = f"{tm}.ghost2.cheap_operation.1"
+                    t[f"{ours}/shortcut_dw/conv"] = f"{tm}.shortcut.0"
+                    t[f"{ours}/shortcut_dw/bn"] = f"{tm}.shortcut.1"
+                    t[f"{ours}/shortcut_pw/conv"] = f"{tm}.shortcut.2"
+                    t[f"{ours}/shortcut_pw/bn"] = f"{tm}.shortcut.3"
+            side = "slow" if p == 0 else "fast"
+            t[f"head/stage5_conv_{p}/conv"] = f"head.stage5_conv_{side}.conv"
+            t[f"head/stage5_conv_{p}/bn"] = f"head.stage5_conv_{side}.bn1"
+            t[f"head/conv_head_{p}"] = f"head.conv_head_{side}"
+        t["head/projection"] = "head.classifier.1"
+
+    return t
+
+
+def resolve_torch_name(path: Tuple[str, ...],
+                       table: Optional[Dict[str, str]] = None) -> Optional[str]:
+    """Torch name for a flax path: table lookup first, general rules second."""
+    *mods, leaf = path
+    if leaf not in _LEAF_MAP:
+        return None
+    if table:
+        stripped = list(mods)
+        if stripped and stripped[-1] in _WRAPPER_SEGMENTS and len(stripped) >= 2:
+            stripped = stripped[:-1]
+        key = "/".join(stripped)
+        if key in table:
+            return table[key] + "." + _LEAF_MAP[leaf]
+    return flax_path_to_torch_name(path)
+
+
 def _flatten(tree: Any, prefix=()) -> Dict[Tuple[str, ...], Any]:
     out = {}
     if isinstance(tree, dict) or hasattr(tree, "items"):
@@ -172,13 +336,14 @@ def load_torch_checkpoint(cfg, path: str, params, batch_stats,
         sd = load_caffe2_state_dict(path)
     else:
         sd = load_torch_state_dict(path)
+    table = efficient_prefix_table(cfg) if cfg is not None else {}
 
     def fill(tree, collection):
         flat = _flatten(tree)
         new = {}
         hit = miss = 0
         for p, v in flat.items():
-            name = flax_path_to_torch_name(p)
+            name = resolve_torch_name(p, table)
             src = sd.get(name) if name else None
             if src is not None:
                 w = _convert_tensor(name, p[-1], np.asarray(v), src, inflate)
@@ -271,13 +436,15 @@ def load_caffe2_state_dict(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def export_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
+def export_torch_state_dict(params, batch_stats,
+                            cfg=None) -> Dict[str, np.ndarray]:
     """Inverse mapping: our trees → a torch-style state_dict (for round-trip
     tests and for users migrating back to the reference)."""
+    table = efficient_prefix_table(cfg) if cfg is not None else {}
     sd: Dict[str, np.ndarray] = {}
     for tree in (params, batch_stats or {}):
         for p, v in _flatten(tree).items():
-            name = flax_path_to_torch_name(p)
+            name = resolve_torch_name(p, table)
             if name is None:
                 continue
             v = np.asarray(v)

@@ -116,9 +116,9 @@ def test_round_trip_import_exact_logits(rng, tmp_path):
         np.testing.assert_allclose(sd2[k], sd[k], rtol=1e-6, atol=1e-7,
                                    err_msg=k)
     # and the loaded model must produce different (i.e. actually-loaded) logits
-    out_orig = model.apply(v, x, train=False)
-    out_new = model.apply({"params": params2, "batch_stats": stats2}, x,
-                          train=False)
+    fwd = jax.jit(functools.partial(model.apply, train=False))
+    out_orig = fwd(v, x)
+    out_new = fwd({"params": params2, "batch_stats": stats2}, x)
     assert not np.allclose(np.asarray(out_orig), np.asarray(out_new))
 
 
@@ -133,3 +133,86 @@ def test_c2_name_translation():
     assert c2_name_to_torch("pred_b") == "head.projection.bias"
     assert (c2_name_to_torch("nonlocal_conv3_1_theta_w")
             == "s3.pathway0_nonlocal1.conv_theta.weight")
+
+
+def efficient_cfg(name, wm):
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = name
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.WIDTH_MULTI = wm
+    cfg.SLOWFAST.GROUPS = 3
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_efficient_model_names_fully_mapped(rng):
+    """Every parameter of every efficient model must resolve to a reference
+    torch name (no unmapped leaves), with the reference's Sequential-index
+    naming (reference: shufflenetv2_helper.py ShuffleNetV2_Stage naming)."""
+    from efficient_slowfast_tpu.utils.torch_ckpt import (
+        efficient_prefix_table, resolve_torch_name, _flatten,
+    )
+
+    expectations = {
+        "SlowFastShuffleNetV2": [
+            "s1.pathway0_stem.0.weight",
+            "s2.pathway0_channel_224.features.0.banch2.0.weight",
+            "s2.pathway1_channel_28.features.0.banch1.1.running_mean",
+            "head.pathway0_conv1x1x1.0.0.weight",
+            "head.classifier.1.weight",
+        ],
+        "SlowFastShuffleNet": [
+            "s2.pathway0_channel_480.features.0.conv1.weight",
+            "s2.pathway0_channel_480.features.0.shortcut.0.weight",
+            "s3.pathway1_channel_120.features.1.bn2.running_var",
+            "head.classifier.1.bias",
+        ],
+        "SlowFastMoibleNetV2": [
+            "s1.pathway0_stem.features.0.weight",
+            "s2.pathway0_channel_16.features.0.conv.0.weight",
+            "s2.pathway0_channel_16.features.1.conv.6.weight",
+            "s8.pathway1_channel_320.features.0.conv.7.running_mean",
+            "head.pathway1_conv1x1x1.0.weight",
+        ],
+        "SlowFastGhostNet": [
+            "s0.pathway0_stem.0.weight",
+            "s1.pathway0_channel_16.features.0.ghost1.primary_conv.0.weight",
+            "s3.pathway0_channel_40.features.1.se.conv_reduce.weight",
+            "head.stage5_conv_slow.conv.weight",
+            "head.conv_head_fast.bias",
+        ],
+    }
+    widths = {"SlowFastShuffleNetV2": 2.0, "SlowFastShuffleNet": 2.0,
+              "SlowFastMoibleNetV2": 1.0, "SlowFastGhostNet": 1.0}
+    for name, expected in expectations.items():
+        cfg = efficient_cfg(name, widths[name])
+        _, _, v = build_vars_generic(cfg, rng)
+        table = efficient_prefix_table(cfg)
+        sd = {}
+        unmapped = []
+        for tree in (v["params"], v.get("batch_stats", {})):
+            for p, _ in _flatten(tree).items():
+                n = resolve_torch_name(p, table)
+                if n is None and p[-1] in ("kernel", "scale", "bias", "mean",
+                                           "var", "gamma"):
+                    unmapped.append("/".join(p))
+                elif n:
+                    sd[n] = True
+        assert not unmapped, f"{name}: unmapped {unmapped[:5]}"
+        for e in expected:
+            assert e in sd, f"{name}: missing {e}; sample: {sorted(sd)[:6]}"
+
+
+def build_vars_generic(cfg, rng):
+    import jax.numpy as jnp
+
+    model = build_model(cfg)
+    x = [jnp.ones((1, 2, 32, 32, 3)), jnp.ones((1, 8, 32, 32, 3))]
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, x)
+    return model, x, v
