@@ -186,3 +186,46 @@ def _collate(samples) -> Dict[str, np.ndarray]:
 def shuffle_dataset(loader: ClipLoader, cur_epoch: int):
     """reference: loader.py:119-137."""
     loader.set_epoch(cur_epoch)
+
+
+def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
+                       depth: int = 2):
+    """Iterate `loader`, device_put-ing the next batches ahead of consumption.
+
+    Overlaps host→device transfer with device compute (the TPU equivalent of
+    the reference's pin_memory + cuda(non_blocking=True),
+    reference: tools/train_net.py:51-65). Non-tensor keys pass through on host.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    from ..parallel.mesh import shard_batch
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    stop = _threading.Event()
+
+    def produce():
+        try:
+            for batch in loader:
+                if stop.is_set():
+                    return
+                device_part = shard_batch(
+                    mesh, {k: batch[k] for k in keys if k in batch}
+                )
+                host_part = {k: v for k, v in batch.items() if k not in keys}
+                q.put((device_part, host_part))
+        finally:
+            q.put(None)
+
+    t = _threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            dev, host = item
+            dev.update(host)
+            yield dev
+    finally:
+        stop.set()

@@ -28,11 +28,15 @@ def perform_test(cfg, state, model, loader, meter, mesh):
     preprocess = make_test_preprocess(cfg)
     fwd = make_forward(cfg, model)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    from ..data.loader import prefetch_to_device
+
     meter.iter_tic()
-    for cur_iter, batch in enumerate(loader):
-        frames = shard_batch(mesh, batch["frames"])
-        widths = shard_batch(mesh, batch["width"])
-        sidx = shard_batch(mesh, batch["spatial_idx"])
+    for cur_iter, batch in enumerate(prefetch_to_device(
+        loader, mesh, keys=("frames", "width", "spatial_idx"),
+        depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
+    )):
+        frames, widths, sidx = (batch["frames"], batch["width"],
+                                batch["spatial_idx"])
         inputs = preprocess(frames, widths, sidx)
         preds = np.asarray(jax.device_get(fwd(variables, inputs)))
         meter.update_stats(

@@ -52,11 +52,13 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
             make_train_preprocess(cfg, crop_size=s)
             for s in short_cycle_shapes(cfg)
         ]
-    for cur_iter, batch in enumerate(loader):
+    from ..data.loader import prefetch_to_device
+
+    for cur_iter, batch in enumerate(
+        prefetch_to_device(loader, mesh, depth=cfg.DATA_LOADER.PREFETCH_DEPTH)
+    ):
         lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
-        frames = shard_batch(mesh, batch["frames"])
-        widths = shard_batch(mesh, batch["width"])
-        labels = shard_batch(mesh, batch["label"])
+        frames, widths, labels = batch["frames"], batch["width"], batch["label"]
         key = jax.random.fold_in(rng, cur_epoch * data_size + cur_iter)
         if short_cycle_pre is not None and "_phase" in batch:
             inputs = short_cycle_pre[int(batch["_phase"])](key, frames, widths)
@@ -95,11 +97,13 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
 
 def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
                mesh, rng):
+    from ..data.loader import prefetch_to_device
+
     meter.iter_tic()
-    for cur_iter, batch in enumerate(loader):
-        frames = shard_batch(mesh, batch["frames"])
-        widths = shard_batch(mesh, batch["width"])
-        labels = shard_batch(mesh, batch["label"])
+    for cur_iter, batch in enumerate(
+        prefetch_to_device(loader, mesh, depth=cfg.DATA_LOADER.PREFETCH_DEPTH)
+    ):
+        frames, widths, labels = batch["frames"], batch["width"], batch["label"]
         key = jax.random.fold_in(rng, cur_iter)
         inputs = preprocess(key, frames, widths)
         out = jax.device_get(eval_step(state, inputs, labels))
