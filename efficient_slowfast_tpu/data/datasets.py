@@ -38,6 +38,15 @@ def canvas_width(short_side: int) -> int:
     return short_side * 2
 
 
+def get_random_sampling_rate(long_cycle_sampling_rate, sampling_rate):
+    """Multigrid long-cycle sampling-rate override
+    (reference: datasets/utils.py:318-329)."""
+    if long_cycle_sampling_rate > 0:
+        assert long_cycle_sampling_rate >= sampling_rate
+        return random.randint(sampling_rate, long_cycle_sampling_rate)
+    return sampling_rate
+
+
 def get_start_end_idx(video_size, clip_size, clip_idx, num_clips):
     """Clip window selection (reference: decoder.py:55-83)."""
     delta = max(video_size - clip_size, 0)
@@ -171,7 +180,9 @@ class ClipDataset:
         """Decode NUM_FRAMES frames of clip `temporal_idx` (RGB uint8 THWC)."""
         cfg = self.cfg
         num_frames = cfg.DATA.NUM_FRAMES
-        sampling = cfg.DATA.SAMPLING_RATE
+        sampling = get_random_sampling_rate(
+            cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE, cfg.DATA.SAMPLING_RATE
+        ) if self.mode == "train" else cfg.DATA.SAMPLING_RATE
         path = self._path_to_videos[index]
         if path.startswith("synthetic://"):
             seed = (hash(path) + temporal_idx) % (2**31)

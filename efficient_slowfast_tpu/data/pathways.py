@@ -14,6 +14,19 @@ def slow_pathway_indices(num_frames: int, alpha: int) -> jnp.ndarray:
     return jnp.clip(jnp.round(idx), 0, num_frames - 1).astype(jnp.int32)
 
 
+def pack_pathway_output_in_the_middle(cfg, frames: jnp.ndarray):
+    """Variant selecting the middle T//α frames for the slow pathway
+    (reference: datasets/utils.py:115-148)."""
+    if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
+        return [frames]
+    t = frames.shape[1]
+    alpha = cfg.SLOWFAST.ALPHA
+    n_slow = t // alpha
+    start = (t - n_slow) // 2
+    slow = frames[:, start: start + n_slow]
+    return [slow, frames]
+
+
 def pack_pathway_output(cfg, frames: jnp.ndarray):
     """frames (B, T, H, W, C) → [slow, fast] or [frames] per cfg.MODEL.ARCH."""
     if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:

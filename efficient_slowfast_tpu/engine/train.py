@@ -96,9 +96,13 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
 
 
 def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
-               mesh, rng):
+               mesh, rng, writer=None):
     from ..data.loader import prefetch_to_device
 
+    plot = writer is not None and (
+        cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE or cfg.TENSORBOARD.HISTOGRAM.ENABLE
+    )
+    all_preds, all_labels = [], []
     meter.iter_tic()
     for cur_iter, batch in enumerate(
         prefetch_to_device(loader, mesh, depth=cfg.DATA_LOADER.PREFETCH_DEPTH)
@@ -107,6 +111,9 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
         key = jax.random.fold_in(rng, cur_iter)
         inputs = preprocess(key, frames, widths)
         out = jax.device_get(eval_step(state, inputs, labels))
+        if plot:
+            all_preds.append(np.asarray(out["preds"]))
+            all_labels.append(np.asarray(labels))
         meter.update_stats(
             float(out["top1_err"]), float(out[f"top{cfg.TRAIN.TOPK}_err"]),
             labels.shape[0] * max(cfg.NUM_SHARDS, 1),
@@ -115,6 +122,9 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
     meter.iter_toc()
     top1 = meter.log_epoch_stats(cur_epoch)
     meter.reset()
+    if plot and all_preds:
+        writer.plot_eval(np.concatenate(all_preds),
+                         np.concatenate(all_labels), global_step=cur_epoch)
     return top1
 
 
@@ -122,7 +132,10 @@ def train(cfg: CfgNode):
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Train with config:\n%s", cfg.dump())
 
+    import random as _random
+
     np.random.seed(cfg.RNG_SEED)
+    _random.seed(cfg.RNG_SEED)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
     multigrid = None
@@ -201,7 +214,7 @@ def train(cfg: CfgNode):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
         if _is_eval_epoch(cfg, cur_epoch, multigrid.schedule if multigrid else None):
             top1 = eval_epoch(cfg, state, eval_step, preprocess, val_loader,
-                              val_meter, cur_epoch, mesh, rng)
+                              val_meter, cur_epoch, mesh, rng, writer=writer)
             if writer is not None:
                 writer.add_scalars({"Val/Top1_err": top1},
                                    global_step=cur_epoch)
