@@ -28,15 +28,17 @@ def from_cl(y):  # jax NTHWC -> numpy NCTHW
     return np.transpose(np.asarray(y), (0, 4, 1, 2, 3))
 
 
-@pytest.mark.parametrize("kernel,stride,padding,groups", [
-    ((1, 7, 7), (1, 2, 2), (0, 3, 3), 1),
-    ((3, 1, 1), (1, 1, 1), (1, 0, 0), 1),
-    ((3, 3, 3), (1, 2, 2), (1, 1, 1), 4),   # depthwise-ish grouped
-    ((5, 1, 1), (4, 1, 1), (2, 0, 0), 1),   # lateral fusion conv
+@pytest.mark.parametrize("kernel,stride,padding,groups,cin", [
+    ((1, 7, 7), (1, 2, 2), (0, 3, 3), 1, 8),
+    ((3, 1, 1), (1, 1, 1), (1, 0, 0), 1, 8),
+    ((3, 3, 3), (1, 2, 2), (1, 1, 1), 4, 8),   # depthwise-ish grouped
+    ((5, 1, 1), (4, 1, 1), (2, 0, 0), 1, 8),   # lateral fusion conv
+    ((5, 7, 7), (1, 2, 2), (2, 3, 3), 1, 3),   # stem → tap-decomposed path
+    ((3, 3, 3), (2, 1, 1), (1, 1, 1), 1, 3),   # temporal stride, decomposed
 ])
-def test_conv3d_matches_torch(kernel, stride, padding, groups):
+def test_conv3d_matches_torch(kernel, stride, padding, groups, cin):
     torch.manual_seed(0)
-    cin, cout = 8, 16
+    cout = 16
     tconv = tnn.Conv3d(cin, cout, kernel, stride, padding, groups=groups, bias=True)
     x = torch.randn(2, cin, 8, 12, 12)
     with torch.no_grad():
