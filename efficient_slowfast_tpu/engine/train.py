@@ -153,6 +153,12 @@ def train(cfg: CfgNode):
     state = shard_state(state, mesh)
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
+    if cfg.LOG_MODEL_INFO:
+        from ..utils.misc import log_model_info
+        from .state import pathway_inputs
+
+        log_model_info(model, cfg, state, pathway_inputs(cfg, 1))
+
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
     precise_bn_loader = (

@@ -41,17 +41,32 @@ class Nonlocal(nn.Module):
         theta = theta.reshape(b, -1, self.dim_inner)
         phi = phi.reshape(b, -1, self.dim_inner)
         g = g.reshape(b, -1, self.dim_inner)
+        n_q = theta.shape[1]
+        n_k = phi.shape[1]
 
-        aff = jnp.einsum("bqd,bkd->bqk", theta, phi, preferred_element_type=jnp.float32)
-        if self.instantiation == "softmax":
-            aff = nn.softmax(aff * (self.dim_inner ** -0.5), axis=-1)
-        elif self.instantiation == "dot_product":
-            aff = aff / aff.shape[-1]
+        if self.instantiation == "dot_product":
+            # (θ φᵀ / N) g == θ (φᵀ g) / N — associativity turns the (N, N)
+            # affinity into a (d, d) contraction: O(N·d²) compute, O(d²) memory
+            # instead of O(N²). Exact.
+            kv = jnp.einsum("bkd,bke->bde", phi, g,
+                            preferred_element_type=jnp.float32)
+            out = jnp.einsum("bqd,bde->bqe", theta, kv.astype(theta.dtype),
+                             preferred_element_type=jnp.float32) / n_k
+        elif self.instantiation == "softmax":
+            scale = self.dim_inner ** -0.5
+            if n_q > 1024:
+                # flash path: the (N, N) affinity never hits HBM
+                from ..ops.pallas.flash_attention import flash_attention
+
+                out = flash_attention(theta * scale, phi, g)
+            else:
+                aff = jnp.einsum("bqd,bkd->bqk", theta, phi,
+                                 preferred_element_type=jnp.float32)
+                aff = nn.softmax(aff * scale, axis=-1)
+                out = jnp.einsum("bqk,bkd->bqd", aff.astype(g.dtype), g,
+                                 preferred_element_type=jnp.float32)
         else:
             raise NotImplementedError(self.instantiation)
-
-        out = jnp.einsum("bqk,bkd->bqd", aff.astype(g.dtype), g,
-                         preferred_element_type=jnp.float32)
         out = out.reshape(b, t, h, w, self.dim_inner).astype(identity.dtype)
 
         out = Conv3d(c, 1, dtype=self.dtype, name="out")(out)
