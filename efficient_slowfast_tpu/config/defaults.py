@@ -291,6 +291,9 @@ _C.TPU.DATA_AXIS = 0
 _C.TPU.DONATE = True
 # Steps between host metric syncs (device-accumulated metrics).
 _C.TPU.METRICS_PERIOD = 10
+# Rematerialize residual stages in backward (trade FLOPs for HBM; enables
+# larger train batches).
+_C.TPU.REMAT = False
 
 
 def get_cfg() -> CfgNode:

@@ -65,6 +65,14 @@ def _stage_kwargs(cfg, idx):
     )
 
 
+def _stage_cls(cfg):
+    """ResStage, optionally rematerialized (jax.checkpoint) so stage
+    activations are recomputed in backward — fits ~2x train batch."""
+    if cfg.TPU.REMAT:
+        return nn.remat(ResStage, static_argnums=(2,))
+    return ResStage
+
+
 @MODEL_REGISTRY.register()
 class SlowFast(nn.Module):
     """Two-pathway SlowFast network (stages s1–s5, fuse after s1–s4)."""
@@ -76,6 +84,7 @@ class SlowFast(nn.Module):
         cfg = self.cfg
         dtype = get_compute_dtype(cfg)
         norm = get_norm(cfg)
+        Stage = _stage_cls(cfg)
         pool_size = _POOL1[cfg.MODEL.ARCH]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         w = cfg.RESNET.WIDTH_PER_GROUP
@@ -102,35 +111,35 @@ class SlowFast(nn.Module):
             )
 
         x = fuse("s1_fuse")(x, train=train)
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 4, w * 4 // beta],
             dim_inner=[dim_inner, dim_inner // beta],
             num_blocks=[d2] * 2, num_groups=[num_groups] * 2,
             norm=norm, dtype=dtype, name="s2", **_stage_kwargs(cfg, 0),
-        )(x, train=train)
+        )(x, train)
         x = fuse("s2_fuse")(x, train=train)
         x = [max_pool3d(xi, pool_size[p], pool_size[p])
              for p, xi in enumerate(x)]
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 8, w * 8 // beta],
             dim_inner=[dim_inner * 2, dim_inner * 2 // beta],
             num_blocks=[d3] * 2, num_groups=[num_groups] * 2,
             norm=norm, dtype=dtype, name="s3", **_stage_kwargs(cfg, 1),
-        )(x, train=train)
+        )(x, train)
         x = fuse("s3_fuse")(x, train=train)
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 16, w * 16 // beta],
             dim_inner=[dim_inner * 4, dim_inner * 4 // beta],
             num_blocks=[d4] * 2, num_groups=[num_groups] * 2,
             norm=norm, dtype=dtype, name="s4", **_stage_kwargs(cfg, 2),
-        )(x, train=train)
+        )(x, train)
         x = fuse("s4_fuse")(x, train=train)
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 32, w * 32 // beta],
             dim_inner=[dim_inner * 8, dim_inner * 8 // beta],
             num_blocks=[d5] * 2, num_groups=[num_groups] * 2,
             norm=norm, dtype=dtype, name="s5", **_stage_kwargs(cfg, 3),
-        )(x, train=train)
+        )(x, train)
 
         if cfg.DETECTION.ENABLE:
             from .detection import ResNetRoIHead
@@ -178,6 +187,7 @@ class ResNet(nn.Module):
         cfg = self.cfg
         dtype = get_compute_dtype(cfg)
         norm = get_norm(cfg)
+        Stage = _stage_cls(cfg)
         pool_size = _POOL1[cfg.MODEL.ARCH]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         w = cfg.RESNET.WIDTH_PER_GROUP
@@ -192,28 +202,28 @@ class ResNet(nn.Module):
             padding=[[temp_kernel[0][0][0] // 2, 3, 3]],
             norm=norm, dtype=dtype, name="s1",
         )(x, train=train)
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 4], dim_inner=[dim_inner],
             num_blocks=[d2], num_groups=[num_groups],
             norm=norm, dtype=dtype, name="s2", **_stage_kwargs(cfg, 0),
-        )(x, train=train)
+        )(x, train)
         x = [max_pool3d(xi, pool_size[p], pool_size[p])
              for p, xi in enumerate(x)]
-        x = ResStage(
+        x = Stage(
             dim_out=[w * 8], dim_inner=[dim_inner * 2],
             num_blocks=[d3], num_groups=[num_groups],
             norm=norm, dtype=dtype, name="s3", **_stage_kwargs(cfg, 1),
-        )(x, train=train)
-        x = ResStage(
+        )(x, train)
+        x = Stage(
             dim_out=[w * 16], dim_inner=[dim_inner * 4],
             num_blocks=[d4], num_groups=[num_groups],
             norm=norm, dtype=dtype, name="s4", **_stage_kwargs(cfg, 2),
-        )(x, train=train)
-        x = ResStage(
+        )(x, train)
+        x = Stage(
             dim_out=[w * 32], dim_inner=[dim_inner * 8],
             num_blocks=[d5], num_groups=[num_groups],
             norm=norm, dtype=dtype, name="s5", **_stage_kwargs(cfg, 3),
-        )(x, train=train)
+        )(x, train)
 
         if cfg.DETECTION.ENABLE:
             from .detection import ResNetRoIHead
