@@ -23,7 +23,7 @@ import numpy as np
 from ..utils.logging import get_logger
 from .build import DATASET_REGISTRY
 from . import ava_helper
-from .datasets import canvas_width, fit_canvas
+from .datasets import fit_canvas
 
 logger = get_logger(__name__)
 

@@ -21,7 +21,6 @@ Decode backends:
 
 from __future__ import annotations
 
-import math
 import os
 import random
 from typing import List, Optional, Tuple

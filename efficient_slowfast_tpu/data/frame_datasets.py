@@ -15,7 +15,7 @@ import os
 import random
 from collections import defaultdict
 from itertools import chain
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

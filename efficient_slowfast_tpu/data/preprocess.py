@@ -16,11 +16,7 @@ Host contract: the feeder supplies
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
-import jax.numpy as jnp
 
 from . import transform as T
 from .pathways import pack_pathway_output

@@ -18,8 +18,6 @@ Frames are channels-last uint8/float (B, T, H, W, C).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 

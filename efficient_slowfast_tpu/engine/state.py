@@ -13,7 +13,7 @@ are deliberately absent).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
@@ -22,7 +22,7 @@ import optax
 
 from ..models.losses import get_loss_func
 from ..models.optimizer import construct_optimizer
-from ..parallel.mesh import DATA_AXIS, build_mesh, data_sharding, replicated
+from ..parallel.mesh import replicated
 from ..utils import metrics as metrics_lib
 
 

@@ -39,12 +39,24 @@ def perform_test(cfg, state, model, loader, meter, mesh):
                                 batch["spatial_idx"])
         inputs = preprocess(frames, widths, sidx)
         preds = np.asarray(jax.device_get(fwd(variables, inputs)))
-        meter.update_stats(
-            preds, np.asarray(batch["label"]),
+        labels = np.asarray(batch["label"])
+        clip_ids = (
             np.asarray(batch["index"]) * meter.num_clips
             + np.asarray(batch["temporal_idx"]) * cfg.TEST.NUM_SPATIAL_CROPS
-            + np.asarray(batch["spatial_idx"]),
+            + np.asarray(batch["spatial_idx"])
         )
+        if jax.process_count() > 1:
+            # multi-host: concatenate every host's shard so the master meter
+            # sees all clips (the reference's all_gather at test_net.py:95-98;
+            # variable sizes ride process_allgather like the gloo
+            # all_gather_unaligned, reference distributed.py:155-255)
+            from jax.experimental import multihost_utils as mhu
+
+            preds = np.concatenate(mhu.process_allgather(preds, tiled=False))
+            labels = np.concatenate(mhu.process_allgather(labels, tiled=False))
+            clip_ids = np.concatenate(
+                mhu.process_allgather(clip_ids, tiled=False))
+        meter.update_stats(preds, labels, clip_ids)
         if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
             meter.log_iter_stats(cur_iter)
     meter.iter_toc()

@@ -6,7 +6,7 @@ Torch-style symmetric integer padding; wrappers over ``flax.linen`` pooling
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import math
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import init_distributed

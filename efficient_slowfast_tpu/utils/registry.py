@@ -3,7 +3,7 @@ slowfast/models/build.py:9-16 and slowfast/datasets/build.py:6-13)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 
 class Registry:

@@ -13,8 +13,7 @@ the reference's generate_cam_videos (:120-225).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
