@@ -29,6 +29,16 @@ def main():
     import functools
 
     import jax
+
+    try:  # persistent compile cache makes repeat bench runs near-instant
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from efficient_slowfast_tpu.config import get_cfg
