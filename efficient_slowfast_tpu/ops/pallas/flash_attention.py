@@ -167,8 +167,14 @@ def _pick_block_k(m: int):
     return None
 
 
+# Largest key count validated against the Mosaic compiler on v5e (32768
+# crashes the remote compile helper; 25088 = the CMDA 224²-input token count
+# compiles and runs).
+_FLASH_MAX_KEYS = 25088
+
+
 def _dispatch(q, k, v):
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and k.shape[1] <= _FLASH_MAX_KEYS:
         bk = _pick_block_k(k.shape[1])
         if bk is not None:
             try:
