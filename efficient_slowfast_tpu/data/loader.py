@@ -26,18 +26,36 @@ from .build import build_dataset
 
 def construct_loader(cfg, split: str):
     assert split in ("train", "val", "test")
+    from ..parallel.mesh import per_host_batch_divisor
+
+    divisor = per_host_batch_divisor(cfg)
+    pad_to_full = False
     if split == "train":
         dataset_name = cfg.TRAIN.DATASET
         batch_size = cfg.TRAIN.BATCH_SIZE // cfg.NUM_SHARDS
         shuffle, drop_last = True, True
+        if batch_size % divisor:
+            raise ValueError(
+                f"TRAIN.BATCH_SIZE per host ({batch_size}) must be divisible "
+                f"by the data-axis shard size ({divisor}); adjust "
+                f"TRAIN.BATCH_SIZE or TPU.DATA_AXIS."
+            )
     elif split == "val":
         dataset_name = cfg.TRAIN.DATASET
         batch_size = cfg.TRAIN.BATCH_SIZE // cfg.NUM_SHARDS
         shuffle, drop_last = False, False
+        pad_to_full = True
     else:
         dataset_name = cfg.TEST.DATASET
         batch_size = cfg.TEST.BATCH_SIZE // cfg.NUM_SHARDS
         shuffle, drop_last = False, False
+        pad_to_full = True
+    if pad_to_full and batch_size % divisor:
+        # Round eval batches up to a shardable size; the tail of every batch
+        # is padding flagged by the `_valid` mask, so (unlike a silent drop)
+        # every sample is still evaluated exactly once
+        # (reference: slowfast/datasets/loader.py:55-116 never drops eval data).
+        batch_size = ((batch_size + divisor - 1) // divisor) * divisor
     dataset = build_dataset(dataset_name, cfg, split)
     batch_size_schedule = None
     if split == "train" and cfg.MULTIGRID.SHORT_CYCLE:
@@ -55,6 +73,7 @@ def construct_loader(cfg, split: str):
         prefetch=cfg.DATA_LOADER.PREFETCH_DEPTH,
         seed=cfg.RNG_SEED,
         batch_size_schedule=batch_size_schedule,
+        pad_to_full=pad_to_full,
     )
 
 
@@ -62,7 +81,8 @@ class ClipLoader:
     """Iterable over collated numpy batches with background decode threads."""
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, prefetch=2, seed=0, batch_size_schedule=None):
+                 num_workers=4, prefetch=2, seed=0, batch_size_schedule=None,
+                 pad_to_full=False):
         self.dataset = dataset
         self.batch_size = max(1, batch_size)
         self.shuffle = shuffle
@@ -73,6 +93,10 @@ class ClipLoader:
         # short-cycle: batch sizes cycled per iteration
         # (reference: datasets/multigrid_helper.py ShortCycleBatchSampler)
         self.batch_size_schedule = batch_size_schedule
+        # pad every batch to exactly `batch_size` samples (repeating the last
+        # index) and emit a `_valid` {1,0} mask — keeps one compiled shape and
+        # one shardable batch size while never dropping eval samples
+        self.pad_to_full = pad_to_full
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -150,16 +174,26 @@ class ClipLoader:
 
         def produce():
             try:
-                for bi, (phase, batch_idx) in enumerate(batches):
+                for phase, batch_idx in batches:
                     if stop.is_set():
                         return
+                    n_real = len(batch_idx)
+                    if self.pad_to_full and n_real < self.batch_size:
+                        pad = np.full(self.batch_size - n_real, batch_idx[-1])
+                        batch_idx = np.concatenate([batch_idx, pad])
                     samples = list(
                         pool.map(lambda i: self.dataset[int(i)], batch_idx)
                     )
                     collated = _collate(samples)
+                    if self.pad_to_full:
+                        mask = np.zeros(len(batch_idx), np.float32)
+                        mask[:n_real] = 1.0
+                        collated["_valid"] = mask
                     if phase is not None:
                         collated["_phase"] = np.int32(phase)
-                    out_q.put((bi, collated))
+                    out_q.put(("batch", collated))
+            except BaseException as exc:  # propagate to the consumer thread
+                out_q.put(("error", exc))
             finally:
                 out_q.put(None)
                 pool.shutdown(wait=False)
@@ -171,7 +205,10 @@ class ClipLoader:
                 item = out_q.get()
                 if item is None:
                     break
-                yield item[1]
+                kind, payload = item
+                if kind == "error":
+                    raise payload
+                yield payload
         finally:
             stop.set()
 
@@ -213,7 +250,9 @@ def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
                     mesh, {k: batch[k] for k in keys if k in batch}
                 )
                 host_part = {k: v for k, v in batch.items() if k not in keys}
-                q.put((device_part, host_part))
+                q.put(("batch", (device_part, host_part)))
+        except BaseException as exc:  # propagate to the consumer thread
+            q.put(("error", exc))
         finally:
             q.put(None)
 
@@ -224,7 +263,10 @@ def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
             item = q.get()
             if item is None:
                 break
-            dev, host = item
+            kind, payload = item
+            if kind == "error":
+                raise payload
+            dev, host = payload
             dev.update(host)
             yield dev
     finally:

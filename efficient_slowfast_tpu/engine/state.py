@@ -124,10 +124,15 @@ def make_train_step(cfg, model, tx) -> Callable:
 
 
 def make_eval_step(cfg, model) -> Callable:
-    """Jitted (state, inputs, labels) → metrics + post-activation preds."""
+    """Jitted (state, inputs, labels[, valid]) → metrics + post-act preds.
+
+    `valid` is the loader's {1,0} padding mask (data/loader.py pad_to_full);
+    padded samples are excluded from the error denominators so a padded tail
+    batch reports the same metrics the unpadded data would.
+    """
     topk = cfg.TRAIN.TOPK
 
-    def step(state: TrainState, inputs, labels):
+    def step(state: TrainState, inputs, labels, valid=None):
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             inputs,
@@ -135,8 +140,16 @@ def make_eval_step(cfg, model) -> Callable:
         )
         out = {"preds": preds}
         if not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
-            k1, kk = metrics_lib.topks_correct(preds, labels, (1, topk))
-            n = preds.shape[0]
+            c1, ck = metrics_lib.topks_correct_per_sample(
+                preds, labels, (1, topk)
+            )
+            if valid is None:
+                k1, kk = c1.sum(), ck.sum()
+                n = jnp.asarray(preds.shape[0], jnp.float32)
+            else:
+                v = valid.astype(jnp.float32)
+                k1, kk = (c1 * v).sum(), (ck * v).sum()
+                n = jnp.maximum(v.sum(), 1.0)
             out["top1_err"] = (1.0 - k1 / n) * 100.0
             out[f"top{topk}_err"] = (1.0 - kk / n) * 100.0
         return out

@@ -45,6 +45,10 @@ def perform_test(cfg, state, model, loader, meter, mesh):
             + np.asarray(batch["temporal_idx"]) * cfg.TEST.NUM_SPATIAL_CROPS
             + np.asarray(batch["spatial_idx"])
         )
+        if "_valid" in batch:
+            # drop loader padding (pad_to_full mask) before ensembling
+            keep = np.asarray(batch["_valid"]) > 0
+            preds, labels, clip_ids = preds[keep], labels[keep], clip_ids[keep]
         if jax.process_count() > 1:
             # multi-host: concatenate every host's shard so the master meter
             # sees all clips (the reference's all_gather at test_net.py:95-98;

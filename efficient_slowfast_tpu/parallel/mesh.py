@@ -49,6 +49,26 @@ def build_mesh(cfg=None, devices=None) -> Mesh:
     return Mesh(np.array(devices).reshape(n), (DATA_AXIS,))
 
 
+def mesh_device_count(cfg=None) -> int:
+    """Size of the data axis the mesh built by ``build_mesh`` will have.
+
+    Every batch placed via ``shard_batch`` must have its leading axis
+    divisible by this (NamedSharding over "data" requires it) — the loader
+    pads eval batches to a multiple and validates train batches against it.
+    """
+    n = jax.device_count()
+    if cfg is not None and cfg.TPU.DATA_AXIS:
+        n = min(n, cfg.TPU.DATA_AXIS)
+    return n
+
+
+def per_host_batch_divisor(cfg=None) -> int:
+    """Divisor a per-host batch must satisfy: local share of the data axis."""
+    n = mesh_device_count(cfg)
+    pc = max(jax.process_count(), 1)
+    return max(n // pc, 1)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding for input pytrees (leading axis over "data")."""
     return NamedSharding(mesh, P(DATA_AXIS))

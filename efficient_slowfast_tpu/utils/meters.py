@@ -273,13 +273,17 @@ class TestMeter:
 
     def finalize_metrics(self, ks=(1, 5)) -> Dict[str, float]:
         if not np.all(self.clip_count == self.num_clips):
+            # The reference only warns here (meters.py:340-351); we raise —
+            # a silently-partial ensemble is a wrong top-1, not a degraded one.
             bad = np.argwhere(self.clip_count != self.num_clips).flatten()
-            from .logging import get_logger
-
-            get_logger(__name__).warning(
-                "clip count %s ~= num clips %s",
-                ", ".join(f"{i}: {self.clip_count[i]}" for i in bad[:10]),
-                self.num_clips,
+            raise RuntimeError(
+                "test ensemble incomplete: {} of {} videos missing clips "
+                "(expected {} clips/video; e.g. {})".format(
+                    len(bad), self.clip_count.shape[0], self.num_clips,
+                    ", ".join(
+                        f"video {i}: {self.clip_count[i]}" for i in bad[:10]
+                    ),
+                )
             )
         stats = {"_type": "test_final"}
         if self.multi_label:

@@ -9,13 +9,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def topks_correct(preds: jnp.ndarray, labels: jnp.ndarray, ks) -> list:
-    """Number of top-k-correct predictions for each k."""
+def topks_correct_per_sample(preds: jnp.ndarray, labels: jnp.ndarray, ks) -> list:
+    """Per-sample top-k correctness, one float32 (B,) vector per k."""
     max_k = max(ks)
     # top-k indices per row: (B, max_k)
     topk_inds = jnp.argsort(-preds, axis=-1)[:, :max_k]
     correct = topk_inds == labels[:, None]
-    return [correct[:, :k].any(axis=-1).sum() for k in ks]
+    return [
+        correct[:, :k].any(axis=-1).astype(jnp.float32) for k in ks
+    ]
+
+
+def topks_correct(preds: jnp.ndarray, labels: jnp.ndarray, ks) -> list:
+    """Number of top-k-correct predictions for each k."""
+    return [c.sum() for c in topks_correct_per_sample(preds, labels, ks)]
 
 
 def topk_errors(preds, labels, ks):

@@ -46,8 +46,13 @@ def test_train_then_test_end_to_end(tmp_path):
     ckpts = os.listdir(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
     assert any(c.endswith(".jaxckpt") for c in ckpts)
 
+    # TEST.BATCH_SIZE=30 on 8 virtual devices: the loader must pad (not drop)
+    # the indivisible batches; TestMeter.finalize_metrics raises unless every
+    # video received all NUM_ENSEMBLE_VIEWS×NUM_SPATIAL_CROPS clips, so a
+    # returned stats dict proves the full ensemble was computed.
     stats = run_test(cfg)
     assert "top1_acc" in stats
+    assert 0.0 <= float(stats["top1_acc"]) <= 100.0
     # auto-resume: second train call must skip (epoch already done)
     state2 = train(cfg)
     assert int(state2.step) == 0  # restored, no further steps
