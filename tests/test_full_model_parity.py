@@ -1,0 +1,153 @@
+"""Full-model golden logit parity vs fresh torch builds (VERDICT r1 #2).
+
+Strongest available proxy for the north-star checkpoint parity: build the
+tiny reference architecture fresh in torch (tests/torch_golden.py, written
+from the reference semantics at video_model_builder.py:153-416,
+custom_video_model_builder.py:42-148,448-617), export its state_dict, import
+it through utils.torch_ckpt.load_torch_checkpoint, and compare end-to-end
+f32 logits in BOTH eval (softmax-then-mean, head_helper.py:218-221) and
+train-logit modes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.models import build_model
+from efficient_slowfast_tpu.utils.torch_ckpt import load_torch_checkpoint
+
+TOL = dict(rtol=1e-4, atol=1e-4)
+
+
+def _base_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _resnet_cfg(cfg):
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    return cfg
+
+
+def _randomize(module, seed=0):
+    """Give every parameter/buffer non-trivial values so parity is
+    distinguishable from luck (BN stats included)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, b in module.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.05)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.75)
+            elif name.endswith("num_batches_tracked"):
+                b.fill_(1)
+    return module
+
+
+def _import_weights(cfg, tmodel, tmp_path):
+    """torch model → .pyth file → our param tree."""
+    model = build_model(cfg)
+    a = cfg.SLOWFAST.ALPHA
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    x = [jnp.zeros((2, t // a, s, s, 3)), jnp.zeros((2, t, s, s, 3))]
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": k, "dropout": k}, x)
+    ckpt = str(tmp_path / "golden.pyth")
+    torch.save({"model_state": tmodel.state_dict(), "epoch": 0}, ckpt)
+    params, stats = load_torch_checkpoint(
+        cfg, ckpt, v["params"], v.get("batch_stats", {}))
+    return model, {"params": params, "batch_stats": stats}
+
+
+def _compare(cfg, tmodel, tmp_path, seed=0):
+    tmodel = _randomize(tmodel, seed)
+    model, variables = _import_weights(cfg, tmodel, tmp_path)
+
+    a = cfg.SLOWFAST.ALPHA
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    rs = np.random.RandomState(seed + 1)
+    slow = rs.randn(2, 3, t // a, s, s).astype(np.float32)
+    fast = rs.randn(2, 3, t, s, s).astype(np.float32)
+
+    def to_cl(x):  # NCTHW → NTHWC
+        return jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+
+    xj = [to_cl(slow), to_cl(fast)]
+    xt = [torch.from_numpy(slow), torch.from_numpy(fast)]
+
+    # eval mode: running stats + softmax-then-mean head
+    tmodel.eval()
+    with torch.no_grad():
+        ref_eval = tmodel(xt).numpy()
+    ours_eval = np.asarray(model.apply(variables, xj, train=False))
+    np.testing.assert_allclose(ours_eval, ref_eval, err_msg="eval", **TOL)
+    # eval rows are probability means — sanity-check they sum to 1
+    np.testing.assert_allclose(ours_eval.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
+
+    # train-logit mode: batch statistics + raw logits (dropout = 0)
+    tmodel.train()
+    with torch.no_grad():
+        ref_train = tmodel(xt).numpy()
+    ours_train, _ = model.apply(
+        variables, xj, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(
+        np.asarray(ours_train), ref_train, err_msg="train", **TOL)
+
+
+def test_slowfast_r18_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchSlowFast
+
+    cfg = _resnet_cfg(_base_cfg())
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    tmodel = TorchSlowFast(
+        num_classes=6, width=8, alpha=4, beta_inv=8,
+        fusion_ratio=cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO,
+        fusion_kernel=cfg.SLOWFAST.FUSION_KERNEL_SZ,
+        num_frames=8, crop=32, depths=(2, 2, 2, 2))
+    _compare(cfg, tmodel, tmp_path)
+
+
+def test_cmda_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchCMDA
+
+    cfg = _resnet_cfg(_base_cfg())
+    cfg.MODEL.MODEL_NAME = "SlowFastDualAttention"
+    tmodel = TorchCMDA(num_classes=6, width=8, alpha=4, beta_inv=8,
+                       num_frames=8, crop=32, depths=(2, 2, 2, 2))
+    _compare(cfg, tmodel, tmp_path)
+
+
+def test_shufflenetv2_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchShuffleNetV2
+
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    tmodel = TorchShuffleNetV2(num_classes=6, width_mult=0.25, alpha=4,
+                               beta_inv=8)
+    _compare(cfg, tmodel, tmp_path)
