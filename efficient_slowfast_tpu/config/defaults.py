@@ -98,6 +98,9 @@ _C.MODEL.DROPOUT_RATE = 0.5
 _C.MODEL.FC_INIT_STD = 0.01
 _C.MODEL.HEAD_ACT = "softmax"
 _C.MODEL.WEIGHTED_RANDOM_SAMPLER = False
+# Classify from the SLOW pathway only while consuming both pathways
+# (reference: head_helper.py:269-418 ResNetBasicHead_SlowPath)
+_C.MODEL.SLOW_PATHWAY_HEAD = False
 
 # ---------------------------------------------------------------------------
 # SlowFast options
@@ -130,6 +133,9 @@ _C.DATA.TARGET_FPS = 30
 # "ffmpeg" (native C++ decoder) | "synthetic" (random frames, for tests/bench)
 _C.DATA.DECODING_BACKEND = "ffmpeg"
 _C.DATA.INV_UNIFORM_SAMPLE = False
+# [lo, hi] PIL-enhancement-factor range for clip-level train color jitter
+# (empty = off; jester uses [0.4, 1.4] — reference decoder.py:447-454)
+_C.DATA.TRAIN_COLOR_JITTER = []
 _C.DATA.RANDOM_FLIP = True
 _C.DATA.MULTI_LABEL = False
 _C.DATA.ENSEMBLE_METHOD = "sum"  # "sum" | "max"
@@ -137,6 +143,13 @@ _C.DATA.REVERSE_INPUT_CHANNEL = False
 _C.DATA.PATH_TO_TRAIN_DATA_TXT = ""
 _C.DATA.PATH_TO_VAL_DATA_TXT = ""
 _C.DATA.HALF_FACE = False
+# Frame-folder gray-style pipeline: grayscale + random corner crop + square
+# resize + rotate/salt-noise train augmentation (reference: decoder.py
+# wheel/smoke_decoder_gray_style :607-1041)
+_C.DATA.GRAY_STYLE = False
+# Slow pathway = contiguous middle T//α window instead of strided subsample
+# (reference: datasets/utils.py:115-148 pack_pathway_output_in_the_middle)
+_C.DATA.SLOW_PATHWAY_MIDDLE = False
 
 # ---------------------------------------------------------------------------
 # Optimizer options

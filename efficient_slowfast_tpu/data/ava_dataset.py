@@ -6,16 +6,16 @@ normalized person boxes to canvas pixels, and pads boxes/labels to a STATIC
 ``MAX_BOXES`` per sample (TPU-first: detection batches keep static shapes; a
 validity mask drives the loss and the evaluator).
 
-Train-time box jitter/flip is folded into the sample (boxes and frames must
-transform together, so spatial augmentation for detection happens on host
-where the reference also does it — cv2_transform.py; the non-detection path
-keeps augmentation on device).
+Train-time augmentation (scale-jitter, random crop, flip — with joint box
+co-transform — plus color/PCA jitter) runs ON DEVICE in
+``data/preprocess.py::make_detection_train_preprocess`` (the reference does
+all of it per-sample on host with cv2 — cv2_transform.py); the host only
+builds the canvas and pixel-space boxes.
 """
 
 from __future__ import annotations
 
 import os
-import random
 from typing import List
 
 import numpy as np
@@ -39,7 +39,6 @@ class Ava:
         self._video_length = cfg.DATA.NUM_FRAMES
         self._seq_len = self._video_length * self._sample_rate
         self._num_classes = cfg.MODEL.NUM_CLASSES
-        self.random_flip = cfg.DATA.RANDOM_FLIP and split == "train"
         self._load_data(cfg)
 
     def _load_data(self, cfg):
@@ -126,14 +125,8 @@ class Ava:
         px[:, [0, 2]] *= width
         px[:, [1, 3]] *= short
 
-        if self.random_flip and random.random() < 0.5:
-            # flip only the content region so the right-padding stays put
-            canvas = canvas.copy()
-            canvas[:, :, :width] = canvas[:, :, :width][:, :, ::-1]
-            x1 = px[:, 0].copy()
-            px[:, 0] = width - 1 - px[:, 2]
-            px[:, 2] = width - 1 - x1
-
+        # train-time flip / scale-jitter / crop happen on DEVICE with joint
+        # box co-transform (data/preprocess.py make_detection_train_preprocess)
         labels = np.zeros((MAX_BOXES, self._num_classes), np.float32)
         boxes_out = np.zeros((MAX_BOXES, 4), np.float32)
         mask = np.zeros((MAX_BOXES,), np.float32)

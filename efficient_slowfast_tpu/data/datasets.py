@@ -150,6 +150,7 @@ class ClipDataset:
                     self._path_to_videos.append(f"synthetic://{i}")
                     self._labels.append(i % self.cfg.MODEL.NUM_CLASSES)
                     self._spatial_temporal_idx.append(clip)
+            self._set_sample_weights()
             return
         assert os.path.exists(path_file), f"{path_file} not found"
         with open(path_file, "r") as f:
@@ -164,10 +165,22 @@ class ClipDataset:
                     self._labels.append(int(label))
                     self._spatial_temporal_idx.append(idx)
         assert self._path_to_videos, f"Failed to load split {self.mode}"
+        self._set_sample_weights()
         logger.info(
             "Constructed dataset (size: %d) from %s",
             len(self._path_to_videos), path_file,
         )
+
+    def _set_sample_weights(self):
+        """Inverse-class-frequency weights for the loader's weighted sampler
+        (reference: MODEL.WEIGHTED_RANDOM_SAMPLER, custom_config.py:7-35 —
+        wdf's imbalanced private datasets draw train samples ∝ 1/freq)."""
+        if not (self.cfg.MODEL.WEIGHTED_RANDOM_SAMPLER
+                and self.mode == "train"):
+            return
+        labels = np.asarray(self._labels, np.int64)
+        counts = np.bincount(labels, minlength=int(labels.max()) + 1)
+        self.sample_weights = 1.0 / np.maximum(counts[labels], 1)
 
     # -- decode ----------------------------------------------------------
     def _short_side(self) -> int:
@@ -302,10 +315,50 @@ class Framefolder(ClipDataset):
             np.round(np.linspace(start, end, num_frames)), 0, len(files) - 1
         ).astype(np.int64)
         frames = retry_load_images([files[i] for i in idx], self._num_retries)
+        if cfg.DATA.GRAY_STYLE:
+            return self._gray_style(frames)
         if cfg.DATA.HALF_FACE:
             # top-half crop (reference: tired dataset half-face option)
             frames = frames[:, : frames.shape[1] // 2]
         return frames
+
+    def _gray_style(self, frames: np.ndarray) -> np.ndarray:
+        """Gray-style pipeline (reference: decoder.py
+        wheel/smoke_decoder_gray_style :607-1041): grayscale, random top-left
+        corner crop ≤10% (train/val), optional half-face crop, square resize
+        to the canvas short side, train-only rotate + salt-noise. Brightness
+        jitter and flip ride the device train preprocess."""
+        from PIL import Image
+
+        from . import host_transforms as HT
+
+        cfg = self.cfg
+        t, h, w, _ = frames.shape
+        # grayscale, replicated to 3 channels (reference convert("L"))
+        luma = (frames.astype(np.float32)
+                @ np.asarray([0.299, 0.587, 0.114], np.float32))
+        gray = np.clip(luma, 0, 255).astype(np.uint8)[..., None]
+        gray = np.repeat(gray, 3, axis=-1)
+
+        y0 = x0 = 0
+        if self.mode in ("train", "val"):
+            x0 = random.randint(0, max(int(0.1 * w) - 1, 0))
+            y0 = random.randint(0, max(int(0.1 * h) - 1, 0))
+        y1 = h
+        if cfg.DATA.HALF_FACE:
+            r = 0.5 + 0.1 * random.random()  # reference: ratio in [0.5, 0.6]
+            y1 = int(r * h)
+        gray = gray[:, y0:y1, x0:]
+
+        s = self._short_side()
+        out = np.empty((t, s, s, 3), np.uint8)
+        for i in range(t):
+            out[i] = np.asarray(
+                Image.fromarray(gray[i]).resize((s, s), Image.BILINEAR))
+        if self.mode == "train":
+            aug = HT.Compose([HT.RandomRotate(), HT.SaltImage()])
+            out = aug(out)
+        return out
 
 
 @DATASET_REGISTRY.register()

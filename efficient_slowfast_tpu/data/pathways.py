@@ -28,9 +28,15 @@ def pack_pathway_output_in_the_middle(cfg, frames: jnp.ndarray):
 
 
 def pack_pathway_output(cfg, frames: jnp.ndarray):
-    """frames (B, T, H, W, C) → [slow, fast] or [frames] per cfg.MODEL.ARCH."""
+    """frames (B, T, H, W, C) → [slow, fast] or [frames] per cfg.MODEL.ARCH.
+
+    DATA.SLOW_PATHWAY_MIDDLE selects the contiguous-middle-window slow
+    pathway used by the frame-folder pipelines (reference utils.py:115-148).
+    """
     if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
         return [frames]
+    if cfg.DATA.SLOW_PATHWAY_MIDDLE:
+        return pack_pathway_output_in_the_middle(cfg, frames)
     if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH:
         t = frames.shape[1]
         slow = jnp.take(frames, slow_pathway_indices(t, cfg.SLOWFAST.ALPHA), axis=1)

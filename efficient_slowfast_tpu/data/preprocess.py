@@ -17,6 +17,7 @@ Host contract: the feeder supplies
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from . import transform as T
 from .pathways import pack_pathway_output
@@ -29,13 +30,22 @@ def make_train_preprocess(cfg, crop_size=None):
     crop = int(crop_size) if crop_size else cfg.DATA.TRAIN_CROP_SIZE
     flip = cfg.DATA.RANDOM_FLIP
     inv = cfg.DATA.INV_UNIFORM_SAMPLE
+    # Jester-style clip-level color jitter: [lo, hi] enhancement-factor range
+    # (reference: datasets/decoder.py:447-454 applies it for jester train/val)
+    jitter = tuple(cfg.DATA.TRAIN_COLOR_JITTER)
 
     @jax.jit
     def pre(rng, frames, widths):
         b = frames.shape[0]
         h = frames.shape[2]
-        k_box, k_flip = jax.random.split(rng)
-        x = T.tensor_normalize(frames, mean, std)
+        k_box, k_flip, k_jit = jax.random.split(rng, 3)
+        if jitter:
+            x = frames.astype(jnp.float32) / 255.0
+            x = T.pil_color_jitter(k_jit, x, jitter[0], jitter[1],
+                                   widths=widths)
+            x = T.color_normalization(x, mean, std)
+        else:
+            x = T.tensor_normalize(frames, mean, std)
         boxes = T.random_scale_crop_boxes(
             k_box, b, h, widths, min_s, max_s, crop, inverse_uniform=inv
         )
@@ -58,6 +68,47 @@ def make_detection_preprocess(cfg):
     def pre(frames):
         x = T.tensor_normalize(frames, mean, std)
         return pack_pathway_output(cfg, x)
+
+    return pre
+
+
+def make_detection_train_preprocess(cfg):
+    """AVA train augmentation, fully on device with box co-transform
+    (reference: ava_dataset._images_and_boxes_preprocessing_cv2 train branch:
+    scale-jitter → random-crop → flip → /255 → [color jitter] → PCA lighting
+    → normalize; cv2_transform.py list ops). Returns (inputs, boxes') where
+    boxes' are in crop-pixel coordinates for the RoI head.
+    """
+    mean = tuple(cfg.DATA.MEAN)
+    std = tuple(cfg.DATA.STD)
+    min_s, max_s = cfg.DATA.TRAIN_JITTER_SCALES
+    crop = cfg.DATA.TRAIN_CROP_SIZE
+    flip = cfg.DATA.RANDOM_FLIP
+    use_color = cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION
+    pca_only = cfg.AVA.TRAIN_PCA_JITTER_ONLY
+    eigval = tuple(cfg.AVA.TRAIN_PCA_EIGVAL)
+    eigvec = tuple(tuple(r) for r in cfg.AVA.TRAIN_PCA_EIGVEC)
+
+    @jax.jit
+    def pre(rng, frames, widths, boxes):
+        b = frames.shape[0]
+        h = frames.shape[2]
+        k_box, k_flip, k_jit, k_pca = jax.random.split(rng, 4)
+        x = frames.astype(jnp.float32) / 255.0
+        crop_boxes = T.random_scale_crop_boxes(
+            k_box, b, h, widths, min_s, max_s, crop
+        )
+        x = T.crop_and_resize(x, crop_boxes, crop)
+        boxes = T.transform_boxes_to_crop(boxes, crop_boxes, crop)
+        if flip:
+            x, boxes = T.horizontal_flip_with_boxes(k_flip, x, boxes)
+        if use_color:
+            if not pca_only:
+                # var-parameterized, random order (cv2_transform.color_jitter_list)
+                x = T.color_jitter(k_jit, x, 0.4, 0.4, 0.4)
+            x = T.lighting_jitter(k_pca, x, 0.1, eigval, eigvec)
+        x = T.color_normalization(x, mean, std)
+        return pack_pathway_output(cfg, x), boxes
 
     return pre
 

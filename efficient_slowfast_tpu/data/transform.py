@@ -204,6 +204,75 @@ def saturation_jitter(rng, var, frames):
     return _blend(frames, gray, alpha[:, None, None, None, None])
 
 
+_LUMA = (0.299, 0.587, 0.114)  # ITU-R 601-2, PIL convert("L") weights
+
+
+def pil_color_jitter(rng, frames, lo=0.4, hi=1.4, widths=None):
+    """Jester-style clip-level color jitter (reference: decoder.py:447-454 +
+    transform.py RandomColorJitter :692-717).
+
+    One enhancement factor f ~ U(lo, hi) per clip for each of brightness,
+    contrast, color (saturation), applied in that fixed PIL order:
+      brightness: f·x ; contrast: blend with the mean luma ; color: blend
+      with the per-pixel luma. `frames` are floats in [0, 1] (pre mean/std).
+    `widths` (B,) restricts the contrast mean to the unpadded content region.
+    """
+    b = frames.shape[0]
+    kb, kc, ks = jax.random.split(rng, 3)
+    luma_w = jnp.asarray(_LUMA, jnp.float32)
+
+    def factor(k):
+        return jax.random.uniform(k, (b, 1, 1, 1, 1), minval=lo, maxval=hi)
+
+    x = frames * factor(kb)  # brightness: blend with black
+
+    luma = (x * luma_w).sum(-1, keepdims=True)
+    if widths is not None:
+        wmask = (jnp.arange(frames.shape[3])[None, :]
+                 < widths[:, None]).astype(jnp.float32)  # (B, W)
+        wmask = wmask[:, None, None, :, None]
+        mean_l = ((luma * wmask).sum(axis=(1, 2, 3), keepdims=True)
+                  / jnp.maximum(wmask.sum(axis=(1, 2, 3), keepdims=True), 1.0))
+    else:
+        mean_l = luma.mean(axis=(1, 2, 3), keepdims=True)
+    fc = factor(kc)
+    x = fc * x + (1.0 - fc) * mean_l  # contrast
+
+    luma = (x * luma_w).sum(-1, keepdims=True)
+    fs = factor(ks)
+    return fs * x + (1.0 - fs) * luma  # color/saturation
+
+
+def transform_boxes_to_crop(boxes, crop_boxes, out_size):
+    """Map (B, N, 4) [x1, y1, x2, y2] canvas-pixel boxes through the
+    per-clip crop window (B, 4) [y0, x0, y1, x1] into out_size crop coords,
+    clipped to the image (reference: cv2_transform scale/crop box co-ops)."""
+    y0, x0, y1, x1 = (crop_boxes[:, i] for i in range(4))
+    sx = out_size / jnp.maximum(x1 - x0, 1e-6)
+    sy = out_size / jnp.maximum(y1 - y0, 1e-6)
+    out = jnp.stack([
+        (boxes[..., 0] - x0[:, None]) * sx[:, None],
+        (boxes[..., 1] - y0[:, None]) * sy[:, None],
+        (boxes[..., 2] - x0[:, None]) * sx[:, None],
+        (boxes[..., 3] - y0[:, None]) * sy[:, None],
+    ], axis=-1)
+    return jnp.clip(out, 0.0, out_size - 1.0)
+
+
+def horizontal_flip_with_boxes(rng, frames, boxes, prob=0.5):
+    """Joint clip+box flip; boxes (B, N, 4) [x1, y1, x2, y2] in pixel coords
+    of the (unpadded) frame (reference: cv2_transform.horizontal_flip_list)."""
+    b, _, _, w, _ = frames.shape
+    do = jax.random.uniform(rng, (b,)) < prob
+    flipped = frames[:, :, :, ::-1, :]
+    frames = jnp.where(do[:, None, None, None, None], flipped, frames)
+    fx1 = (w - 1.0) - boxes[..., 2]
+    fx2 = (w - 1.0) - boxes[..., 0]
+    fboxes = jnp.stack([fx1, boxes[..., 1], fx2, boxes[..., 3]], axis=-1)
+    boxes = jnp.where(do[:, None, None], fboxes, boxes)
+    return frames, boxes
+
+
 def color_jitter(rng, frames, brightness=0.0, contrast=0.0, saturation=0.0):
     """Randomly-ordered brightness/contrast/saturation (reference
     transform.py:542-580; order randomization replaced by a fixed random

@@ -107,15 +107,18 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
         prefetch_to_device(loader, mesh, depth=cfg.DATA_LOADER.PREFETCH_DEPTH)
     ):
         frames, widths, labels = batch["frames"], batch["width"], batch["label"]
+        valid = batch.get("_valid")
         key = jax.random.fold_in(rng, cur_iter)
         inputs = preprocess(key, frames, widths)
-        out = jax.device_get(eval_step(state, inputs, labels))
+        out = jax.device_get(eval_step(state, inputs, labels, valid))
+        n_valid = labels.shape[0] if valid is None else int(valid.sum())
         if plot:
-            all_preds.append(np.asarray(out["preds"]))
-            all_labels.append(np.asarray(labels))
+            keep = slice(None) if valid is None else valid > 0
+            all_preds.append(np.asarray(out["preds"])[keep])
+            all_labels.append(np.asarray(labels)[keep])
         meter.update_stats(
             float(out["top1_err"]), float(out[f"top{cfg.TRAIN.TOPK}_err"]),
-            labels.shape[0] * max(cfg.NUM_SHARDS, 1),
+            n_valid * max(cfg.NUM_SHARDS, 1),
         )
         meter.log_iter_stats(cur_epoch, cur_iter)
     meter.iter_toc()
@@ -231,12 +234,15 @@ def train(cfg: CfgNode):
 def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
                      rng, start_epoch):
     """AVA detection training loop (reference train_net.py detection branch)."""
-    from ..data.preprocess import make_detection_preprocess
+    from ..data.preprocess import (
+        make_detection_preprocess, make_detection_train_preprocess,
+    )
     from ..utils.meters import AVAMeter
     from .state import make_detection_forward, make_detection_train_step
 
     step = make_detection_train_step(cfg, model, tx)
     fwd = make_detection_forward(cfg, model)
+    train_pre = make_detection_train_preprocess(cfg)
     preprocess = make_detection_preprocess(cfg)
     train_meter = AVAMeter(len(train_loader), cfg, mode="train")
     val_meter = AVAMeter(len(val_loader), cfg, mode="val")
@@ -252,8 +258,13 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
             lr = lr_policy.get_lr_at_epoch(
                 cfg, cur_epoch + float(cur_iter) / data_size
             )
-            inputs = preprocess(shard_batch(mesh, batch["frames"]))
-            boxes = shard_batch(mesh, batch["boxes"])
+            key = jax.random.fold_in(rng, cur_epoch * data_size + cur_iter)
+            inputs, boxes = train_pre(
+                key,
+                shard_batch(mesh, batch["frames"]),
+                shard_batch(mesh, batch["width"]),
+                shard_batch(mesh, batch["boxes"]),
+            )
             labels = shard_batch(mesh, batch["box_labels"])
             mask = shard_batch(mesh, batch["box_mask"])
             state, mets = step(state, inputs, boxes, labels, mask, lr, rng)

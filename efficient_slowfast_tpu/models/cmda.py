@@ -108,7 +108,7 @@ class SlowFastDualAttention(nn.Module):
                 dtype=dtype, name="head",
             )(x, bboxes, train=train)
 
-        return ResNetBasicHead(
+        return basic_head_cls(cfg)(
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=None if cfg.MULTIGRID.SHORT_CYCLE else [
                 [cfg.DATA.NUM_FRAMES // cfg.SLOWFAST.ALPHA // _POOL1[0][0],

