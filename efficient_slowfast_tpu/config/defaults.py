@@ -307,6 +307,17 @@ _C.TPU.METRICS_PERIOD = 10
 # Rematerialize residual stages in backward (trade FLOPs for HBM; enables
 # larger train batches).
 _C.TPU.REMAT = False
+# Decompose low-channel full-3D stem convs into per-temporal-tap 2D convs
+# (faster in isolation, loses end-to-end by breaking XLA fusion; opt-in).
+_C.TPU.TAP_DECOMPOSE = False
+# Use the Pallas flash-attention kernel on TPU for large token counts.
+_C.TPU.FLASH_ATTENTION = True
+# Token count above which attention uses the streaming (flash/chunked) path
+# instead of materializing the (N, N) affinity.
+_C.TPU.FLASH_MIN_TOKENS = 1024
+# Largest key count dispatched to the Pallas kernel (Mosaic-validated bound
+# on v5e; larger sizes use the chunked lax.scan path).
+_C.TPU.FLASH_MAX_KEYS = 25088
 
 
 def get_cfg() -> CfgNode:

@@ -24,6 +24,39 @@ import numpy as np
 from .build import build_dataset
 
 
+def shard_indices(indices: np.ndarray, process_count: int,
+                  process_index: int) -> tuple:
+    """Split a global sample order across hosts; never silently drops data.
+
+    Every host receives exactly ``ceil(n / process_count)`` indices so all
+    hosts execute the same number of jitted steps (an SPMD requirement —
+    uneven step counts would hang the compiled collectives). When
+    ``n % process_count != 0`` the order is wrap-padded with its head (the
+    same policy as the reference's DistributedSampler,
+    reference: slowfast/datasets/loader.py:104) and assigned round-robin, so
+    each host's duplicates land at the TAIL of its list. Returns
+    ``(host_indices, n_valid)`` where positions ``>= n_valid`` are the
+    wrapped duplicates — eval masks them out so no sample is double-counted.
+    """
+    indices = np.asarray(indices)
+    n = len(indices)
+    pc = max(int(process_count), 1)
+    pi = int(process_index)
+    assert 0 <= pi < pc, (pi, pc)
+    if pc == 1:
+        return indices, n
+    per = -(-n // pc)  # ceil
+    pad = per * pc - n
+    if pad:
+        indices = np.concatenate([indices, indices[:pad]])
+    host = indices[pi::pc]
+    # round-robin puts the `pad` wrapped duplicates (global positions >= n,
+    # i.e. hosts with pi >= n % pc) in each host's last slot
+    rem = n % pc
+    n_valid = per - (1 if rem and pi >= rem else 0)
+    return host, n_valid
+
+
 def construct_loader(cfg, split: str):
     assert split in ("train", "val", "test")
     from ..parallel.mesh import per_host_batch_divisor
@@ -104,7 +137,10 @@ class ClipLoader:
         self._epoch = epoch
 
     def __len__(self):
+        import jax
+
         n = len(self.dataset)
+        n = -(-n // max(jax.process_count(), 1))  # per-host share (wrap-padded)
         if self.batch_size_schedule:
             return len(self._schedule_batches(np.arange(n)))
         if self.drop_last:
@@ -128,7 +164,8 @@ class ClipLoader:
             i += 1
         return batches
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self) -> tuple:
+        """Per-host (indices, n_valid); positions >= n_valid are wrap-padding."""
         n = len(self.dataset)
         idx = np.arange(n)
         weights = getattr(self.dataset, "sample_weights", None)
@@ -144,22 +181,25 @@ class ClipLoader:
         # per-host shard (multi-host data parallelism)
         import jax
 
-        pc, pi = jax.process_count(), jax.process_index()
-        if pc > 1:
-            per = n // pc
-            idx = idx[pi * per:(pi + 1) * per]
-        return idx
+        return shard_indices(idx, jax.process_count(), jax.process_index())
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._indices()
+        indices, n_valid = self._indices()
+        # wrap-padded multi-host duplicates sit at the tail (shard_indices)
+        sample_valid = np.arange(len(indices)) < n_valid
         if self.batch_size_schedule:
             batches = self._schedule_batches(indices)
+            batches = [
+                (ph, chunk, np.ones(len(chunk), bool)) for ph, chunk in batches
+            ]
         else:
             nb = len(indices) // self.batch_size
             if not self.drop_last and len(indices) % self.batch_size:
                 nb += 1
             batches = [
-                (None, indices[i * self.batch_size:(i + 1) * self.batch_size])
+                (None,
+                 indices[i * self.batch_size:(i + 1) * self.batch_size],
+                 sample_valid[i * self.batch_size:(i + 1) * self.batch_size])
                 for i in range(nb)
             ]
         if not batches:
@@ -174,7 +214,7 @@ class ClipLoader:
 
         def produce():
             try:
-                for phase, batch_idx in batches:
+                for phase, batch_idx, batch_valid in batches:
                     if stop.is_set():
                         return
                     n_real = len(batch_idx)
@@ -186,8 +226,9 @@ class ClipLoader:
                     )
                     collated = _collate(samples)
                     if self.pad_to_full:
+                        # invalid = batch-tail padding OR multi-host wrap dups
                         mask = np.zeros(len(batch_idx), np.float32)
-                        mask[:n_real] = 1.0
+                        mask[:n_real] = batch_valid.astype(np.float32)
                         collated["_valid"] = mask
                     if phase is not None:
                         collated["_phase"] = np.int32(phase)

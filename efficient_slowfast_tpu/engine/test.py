@@ -24,6 +24,36 @@ from .state import create_train_state, make_forward
 logger = get_logger(__name__)
 
 
+def gather_across_hosts(*arrays):
+    """Concatenate every host's shard of per-clip eval outputs.
+
+    Multi-host equivalent of the reference's all_gather at test_net.py:95-98;
+    variable row counts (the _valid mask drops different numbers of padded
+    rows per host) ride ``process_allgather`` like the reference's gloo
+    all_gather_unaligned (reference: distributed.py:155-255). Identity on a
+    single host.
+    """
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils as mhu
+
+    # Row counts differ per host (each drops its own padded rows), but
+    # process_allgather needs equal shapes — gather counts, pad to the max,
+    # gather, then slice each host's real rows back out (the reference's
+    # pad-then-unpad all_gather_unaligned).
+    n = int(arrays[0].shape[0])
+    counts = np.asarray(mhu.process_allgather(np.asarray(n))).reshape(-1)
+    m = int(counts.max())
+    out = []
+    for a in arrays:
+        pad = [(0, m - n)] + [(0, 0)] * (a.ndim - 1)
+        g = np.asarray(mhu.process_allgather(np.pad(a, pad), tiled=False))
+        out.append(
+            np.concatenate([g[i, : counts[i]] for i in range(len(counts))])
+        )
+    return tuple(out)
+
+
 def perform_test(cfg, state, model, loader, meter, mesh):
     preprocess = make_test_preprocess(cfg)
     fwd = make_forward(cfg, model)
@@ -49,17 +79,7 @@ def perform_test(cfg, state, model, loader, meter, mesh):
             # drop loader padding (pad_to_full mask) before ensembling
             keep = np.asarray(batch["_valid"]) > 0
             preds, labels, clip_ids = preds[keep], labels[keep], clip_ids[keep]
-        if jax.process_count() > 1:
-            # multi-host: concatenate every host's shard so the master meter
-            # sees all clips (the reference's all_gather at test_net.py:95-98;
-            # variable sizes ride process_allgather like the gloo
-            # all_gather_unaligned, reference distributed.py:155-255)
-            from jax.experimental import multihost_utils as mhu
-
-            preds = np.concatenate(mhu.process_allgather(preds, tiled=False))
-            labels = np.concatenate(mhu.process_allgather(labels, tiled=False))
-            clip_ids = np.concatenate(
-                mhu.process_allgather(clip_ids, tiled=False))
+        preds, labels, clip_ids = gather_across_hosts(preds, labels, clip_ids)
         meter.update_stats(preds, labels, clip_ids)
         if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
             meter.log_iter_stats(cur_iter)

@@ -20,6 +20,9 @@ def get_compute_dtype(cfg):
 
 
 def build_model(cfg):
+    from ..ops.options import configure
+
+    configure(cfg)  # kernel dispatch (tap-decompose, flash) is cfg-driven
     name = cfg.MODEL.MODEL_NAME
     static = cfg.static() if hasattr(cfg, "static") else cfg
     return MODEL_REGISTRY.get(name)(cfg=static)

@@ -17,10 +17,9 @@ from ..ops.norm import get_norm
 from ..ops.pool import max_pool3d
 from .build import MODEL_REGISTRY, get_compute_dtype
 from .fuse import FuseFastAndSlow
-from .heads import ResNetBasicHead
 from .resnet import ResStage
 from .stems import VideoModelStem
-from .slowfast import _MODEL_STAGE_DEPTH, _stage_kwargs
+from .slowfast import _MODEL_STAGE_DEPTH, _stage_kwargs, basic_head_cls
 
 # CMDA uses the canonical slowfast kernel basis / pool table
 # (reference: custom_video_model_builder.py:151-169).

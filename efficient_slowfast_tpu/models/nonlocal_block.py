@@ -54,7 +54,9 @@ class Nonlocal(nn.Module):
                              preferred_element_type=jnp.float32) / n_k
         elif self.instantiation == "softmax":
             scale = self.dim_inner ** -0.5
-            if n_q > 1024:
+            from ..ops.options import options
+
+            if n_q > options.flash_min_tokens:
                 # flash path: the (N, N) affinity never hits HBM
                 from ..ops.pallas.flash_attention import flash_attention
 

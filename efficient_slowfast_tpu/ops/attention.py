@@ -45,7 +45,9 @@ class SpatialAttention(nn.Module):
         # attention[i, j] = softmax_j(q_i · k_j)  (reference softmax over
         # dim=-1, unscaled). Large token counts go through the flash-style
         # path so the (N, N) affinity never hits HBM (ops/pallas).
-        if n > 1024:
+        from .options import options
+
+        if n > options.flash_min_tokens:
             from .pallas.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)

@@ -115,11 +115,12 @@ class Conv3d(nn.Module):
         # NOTE: measured in isolation the tap decomposition is ~1.8x faster
         # for the C_in=3 fast stem, but END-TO-END at large batch it loses
         # (~500 → ~300 clips/s on v5e) because it breaks XLA's fusion with the
-        # surrounding BN/pool. Kept opt-in for experimentation.
-        import os as _os
+        # surrounding BN/pool. Kept opt-in (cfg.TPU.TAP_DECOMPOSE) for
+        # experimentation.
+        from .options import options
 
         if (
-            _os.environ.get("ESF_TAP_DECOMPOSE", "0") == "1"
+            options.tap_decompose
             and k[0] > 1 and (k[1] > 1 or k[2] > 1)
             and self.groups == 1 and d == (1, 1, 1)
             and x.shape[-1] * k[0] <= 48  # low-intensity stem territory

@@ -1,0 +1,40 @@
+"""Process-wide numeric/kernel options, configured from ``cfg.TPU``.
+
+The reference's model architecture is fully determined by its cfg; ours must
+be too — kernel-dispatch decisions (tap-decomposed stems, the Pallas flash
+path) are therefore driven by ``cfg.TPU.*`` keys set once per job via
+``configure(cfg)`` (called by ``build_model``), never by environment
+variables. Two runs of the same YAML always trace the same program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class KernelOptions:
+    # Decompose low-channel full-3D stem convs into per-temporal-tap 2D convs.
+    # Faster in isolation, slower end-to-end (breaks XLA fusion) — opt-in.
+    tap_decompose: bool = False
+    # Use the Pallas flash-attention kernel on TPU for large token counts.
+    flash_attention: bool = True
+    # Token count above which attention switches from the materialized
+    # (N, N) einsum to the streaming (flash/chunked) path.
+    flash_min_tokens: int = 1024
+    # Largest key count handed to the Pallas kernel; larger falls back to the
+    # chunked lax.scan path. Default = the CMDA 224^2-input token count
+    # validated against the Mosaic compiler on v5e (32768 fails to compile).
+    flash_max_keys: int = 25088
+
+
+options = KernelOptions()
+
+
+def configure(cfg) -> KernelOptions:
+    """Set process-wide kernel options from ``cfg.TPU``; returns them."""
+    options.tap_decompose = bool(cfg.TPU.TAP_DECOMPOSE)
+    options.flash_attention = bool(cfg.TPU.FLASH_ATTENTION)
+    options.flash_min_tokens = int(cfg.TPU.FLASH_MIN_TOKENS)
+    options.flash_max_keys = int(cfg.TPU.FLASH_MAX_KEYS)
+    return options

@@ -167,20 +167,48 @@ def _pick_block_k(m: int):
     return None
 
 
-# Largest key count validated against the Mosaic compiler on v5e (32768
-# crashes the remote compile helper; 25088 = the CMDA 224²-input token count
-# compiles and runs).
-_FLASH_MAX_KEYS = 25088
+# Which path the last flash_attention call took ("pallas" | "chunked") —
+# diagnostic for tests asserting the Pallas kernel actually ran.
+last_path: str = ""
+
+_fallback_logged = False
+
+
+def _log_fallback(reason: str, exc: Exception | None = None) -> None:
+    global _fallback_logged
+    if _fallback_logged:
+        return
+    _fallback_logged = True
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "flash_attention: Pallas path unavailable (%s)%s; using the chunked "
+        "lax.scan fallback for this and subsequent calls this trace.",
+        reason, f": {exc!r}" if exc is not None else "",
+    )
 
 
 def _dispatch(q, k, v):
-    if jax.default_backend() == "tpu" and k.shape[1] <= _FLASH_MAX_KEYS:
-        bk = _pick_block_k(k.shape[1])
-        if bk is not None:
+    global last_path
+    from ..options import options
+
+    m = k.shape[1]
+    if (
+        options.flash_attention
+        and jax.default_backend() == "tpu"
+        and m <= options.flash_max_keys
+    ):
+        bk = _pick_block_k(m)
+        if bk is None:
+            _log_fallback(f"no block size divides key count {m}")
+        else:
             try:
-                return _flash_forward(q, k, v, block_k=bk)
-            except Exception:
-                pass
+                out = _flash_forward(q, k, v, block_k=bk)
+                last_path = "pallas"
+                return out
+            except Exception as exc:  # Mosaic/compile regression: degrade loudly
+                _log_fallback("Pallas lowering failed", exc)
+    last_path = "chunked"
     return chunked_attention(q, k, v)
 
 

