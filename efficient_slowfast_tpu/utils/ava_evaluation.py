@@ -4,10 +4,19 @@ Fresh numpy implementation of the PASCAL-VOC-style per-class average
 precision used by the AVA protocol (functional equivalent of the reference's
 vendored TF object-detection evaluator, slowfast/utils/ava_evaluation/ —
 object_detection_evaluation.py, per_image_evaluation.py, metrics.py,
-np_box_ops.py): per class, detections are greedily matched (descending score)
-to unmatched groundtruth boxes at IoU ≥ threshold; AP is the area under the
-interpolated precision-recall curve; mAP averages classes that have
-groundtruth.
+np_box_ops.py): per class, detections are greedily matched to unmatched
+groundtruth boxes at IoU ≥ threshold; AP is the area under the interpolated
+precision-recall curve over the score-sorted detections; mAP averages
+classes that have groundtruth.
+
+Parity quirk, matched deliberately: the reference's vendored evaluator
+dropped the TF OD API's NMS stage (which score-sorts detections before
+matching), so its per-image greedy matching runs in detection INSERTION
+order, not score order (reference per_image_evaluation.py
+`_get_overlaps_and_scores_box_mode` — no sort; the matching loop iterates
+`range(num_detected_boxes)`). We reproduce that: matching is insertion-
+ordered per image; only the PR curve is score-sorted. Cross-validated
+against the reference evaluator in tests/test_ava_evaluation.py.
 """
 
 from __future__ import annotations
@@ -83,26 +92,29 @@ class PascalDetectionEvaluator:
             npos = self._gt_count[cls]
             if npos == 0:
                 continue
-            dets = sorted(self._det[cls], key=lambda t: -t[0])
+            # stage 1 — greedy matching in INSERTION order per image (the
+            # reference's semantics, see module docstring)
             matched: Dict[str, np.ndarray] = {
                 k: np.zeros(len(v), bool) for k, v in self._gt[cls].items()
             }
-            tp = np.zeros(len(dets))
-            fp = np.zeros(len(dets))
-            for i, (_, img, box) in enumerate(dets):
+            scored = []  # (score, is_tp)
+            for score, img, box in self._det[cls]:
                 gt = self._gt[cls].get(img)
                 if gt is None or len(gt) == 0:
-                    fp[i] = 1
+                    scored.append((score, 0.0))
                     continue
                 ious = box_iou(box[None], gt)[0]
                 j = int(np.argmax(ious))
                 if ious[j] >= self.iou and not matched[img][j]:
-                    tp[i] = 1
+                    scored.append((score, 1.0))
                     matched[img][j] = True
                 else:
-                    fp[i] = 1
+                    scored.append((score, 0.0))
+            # stage 2 — PR curve over score-sorted detections (stable on ties)
+            scored.sort(key=lambda t: -t[0])
+            tp = np.asarray([s[1] for s in scored])
             ctp = np.cumsum(tp)
-            cfp = np.cumsum(fp)
+            cfp = np.cumsum(1.0 - tp)
             recall = ctp / npos
             precision = ctp / np.maximum(ctp + cfp, 1e-12)
             aps[cls] = average_precision(precision, recall)
