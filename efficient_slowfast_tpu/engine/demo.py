@@ -22,7 +22,7 @@ import jax
 from ..data import decoder
 from ..data.preprocess import make_test_preprocess
 from ..models import build_model
-from ..parallel.mesh import build_mesh, shard_batch
+from ..parallel.mesh import build_mesh, replicated
 from ..utils import checkpoint as cu
 from ..utils.logging import get_logger, log_json_stats, setup_logging
 from .state import create_train_state, make_forward
@@ -59,6 +59,7 @@ def demo(cfg):
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
     t0 = time.time()
+    t_prev = t0
     for widx in range(num_windows):
         frames = decoder.decode_clip(
             cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
@@ -71,18 +72,28 @@ def demo(cfg):
         from ..data.datasets import fit_canvas
 
         canvas, width = fit_canvas(frames, short)
-        fb = shard_batch(mesh, canvas[None])
-        wb = shard_batch(mesh, np.asarray([width], np.int32))
-        sidx = shard_batch(mesh, np.asarray([1], np.int32))  # center crop
+        # single-clip window: replicate rather than data-shard (batch 1 is
+        # not divisible by the mesh; the demo is a latency, not throughput,
+        # path)
+        rep = replicated(mesh)
+        fb = jax.device_put(canvas[None], rep)
+        wb = jax.device_put(np.asarray([width], np.int32), rep)
+        sidx = jax.device_put(np.asarray([1], np.int32), rep)  # center crop
         inputs = preprocess(fb, wb, sidx)
         preds = np.asarray(jax.device_get(fwd(variables, inputs)))[0]
         topk = np.argsort(-preds)[: cfg.TENSORBOARD.HISTOGRAM.TOPK or 3]
+        t_now = time.time()
+        # frames/s over this window, like the reference's per-iteration
+        # speed overlay (reference: tools/demo_net.py:240-255)
+        win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)
+        t_prev = t_now
         entry = {
             "_type": "demo_window",
             "window": widx,
             "sec": round(widx * clip_len_s, 2),
             "top_classes": [labels[i] if labels else int(i) for i in topk],
             "scores": [round(float(preds[i]), 4) for i in topk],
+            "fps": round(win_fps, 1),
         }
         log_json_stats(entry)
         results.append(entry)
@@ -99,13 +110,19 @@ def demo(cfg):
 
 
 def _annotate(frames: np.ndarray, entry) -> np.ndarray:
-    """Draw the top-1 label string onto each frame (PIL)."""
+    """Overlay the top-k label lines + measured FPS onto each frame
+    (reference: tools/demo_net.py:240-255,310-393 draws label + speed)."""
     from PIL import Image, ImageDraw
 
     out = np.empty_like(frames)
-    text = f"{entry['top_classes'][0]}: {entry['scores'][0]:.2f}"
+    lines = [
+        f"{cls}: {score:.2f}"
+        for cls, score in zip(entry["top_classes"], entry["scores"])
+    ] + [f"Speed: {entry['fps']:.1f} fps"]
     for i in range(frames.shape[0]):
         im = Image.fromarray(frames[i])
-        ImageDraw.Draw(im).text((4, 4), text, fill=(255, 255, 0))
+        draw = ImageDraw.Draw(im)
+        for li, text in enumerate(lines):
+            draw.text((4, 4 + 12 * li), text, fill=(255, 255, 0))
         out[i] = np.asarray(im)
     return out

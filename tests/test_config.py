@@ -66,3 +66,70 @@ def test_assert_and_infer():
     cfg.TEST.NUM_SPATIAL_CROPS = 2
     with pytest.raises(AssertionError):
         assert_and_infer_cfg(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Config zoo: every shipped YAML must load, validate, build its model, and
+# produce a well-formed forward via jax.eval_shape (no compile) — the
+# "every YAML builds + eval_shapes" regression from VERDICT #10.
+# ---------------------------------------------------------------------------
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ALL_YAMLS = sorted(
+    glob.glob(os.path.join(_REPO, "configs", "**", "*.yaml"), recursive=True)
+)
+assert _ALL_YAMLS, "config zoo missing"
+
+
+@pytest.mark.parametrize(
+    "yaml_path", _ALL_YAMLS,
+    ids=[os.path.relpath(p, os.path.join(_REPO, "configs"))
+         for p in _ALL_YAMLS],
+)
+def test_every_config_builds_and_eval_shapes(yaml_path):
+    from efficient_slowfast_tpu.config import assert_and_infer_cfg, get_cfg
+    from efficient_slowfast_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(yaml_path)
+    cfg = assert_and_infer_cfg(cfg)
+    model = build_model(cfg)
+
+    t = cfg.DATA.NUM_FRAMES
+    s = cfg.DATA.TRAIN_CROP_SIZE
+    multi = cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH
+    if multi:
+        inputs = [
+            jax.ShapeDtypeStruct((2, t // cfg.SLOWFAST.ALPHA, s, s, 3),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((2, t, s, s, 3), jnp.float32),
+        ]
+    else:
+        inputs = [jax.ShapeDtypeStruct((2, t, s, s, 3), jnp.float32)]
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    if cfg.DETECTION.ENABLE:
+        from efficient_slowfast_tpu.data.ava_dataset import MAX_BOXES
+
+        # (B*MAX_BOXES, 5) [batch_idx, x1y1x2y2] rois (engine/state.py
+        # _flatten_rois)
+        boxes = jax.ShapeDtypeStruct((2 * MAX_BOXES, 5), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda i, b: model.init(rngs, i, b, train=False), inputs, boxes)
+        out = jax.eval_shape(
+            lambda v, i, b: model.apply(v, i, b, train=False),
+            shapes, inputs, boxes)
+        assert out.shape == (2 * MAX_BOXES, cfg.MODEL.NUM_CLASSES), yaml_path
+    else:
+        shapes = jax.eval_shape(
+            lambda i: model.init(rngs, i, train=False), inputs)
+        out = jax.eval_shape(
+            lambda v, i: model.apply(v, i, train=False), shapes, inputs)
+        assert out.shape == (2, cfg.MODEL.NUM_CLASSES), yaml_path
