@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Headline benchmark: SlowFast-R50 8x8 Kinetics-400 30-view eval throughput.
 
-Measures clips/sec/chip of the jitted eval forward (post-softmax multi-view
-scores, TEST_CROP 256, 32-frame clips — the reference's standard 30-view test
-configuration, reference: tools/test_net.py + configs/Kinetics/
-SLOWFAST_8x8_R50.yaml) on whatever accelerator JAX finds, bf16 compute.
-
-Prints ONE JSON line:
+Default invocation prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
+
+measuring the jitted eval forward (post-softmax multi-view scores,
+TEST_CROP 256, 32-frame clips — the reference's standard 30-view test
+configuration, reference: tools/test_net.py + configs/Kinetics/
+SLOWFAST_8x8_R50.yaml) in bf16, served through the fused inference engine
+(engine/inference.py: folded BN + Pallas fused bottleneck blocks) when on
+TPU.
+
+Extra modes (each prints its own JSON line; `--mode all` prints all):
+  --mode train     jitted train-step clips/s at the flagship config
+  --mode pipeline  eval loop fed by the synthetic loader through
+                   prefetch_to_device (host decode/collate overlap on)
+  --mode mfu       model FLOPs utilization of the eval forward from XLA
+                   cost analysis vs the chip's nominal bf16 peak
 
 vs_baseline compares against an A100 PyTorch estimate for the same model
 (~135 clips/s for SlowFast-R50 eval fwd at 256², fp16, batch-optimal; no
@@ -15,6 +24,7 @@ official number is published — reference README/MODEL_ZOO publish accuracy
 only, see BASELINE.md).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -23,26 +33,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_BASELINE_CLIPS_PER_SEC = 135.0
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def main():
-    import functools
-
+def _flagship_cfg():
     import jax
 
-    try:  # persistent compile cache makes repeat bench runs near-instant
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    import jax.numpy as jnp
-
     from efficient_slowfast_tpu.config import get_cfg
-    from efficient_slowfast_tpu.models import build_model
 
     cfg = get_cfg()
     cfg.MODEL.MODEL_NAME = "SlowFast"
@@ -60,57 +57,248 @@ def main():
     cfg.MODEL.NUM_CLASSES = 400
     cfg.DATA.NUM_FRAMES = 32
     cfg.DATA.CROP_SIZE = 224       # head pool table (training crop)
-    cfg.DATA.TEST_CROP_SIZE = 256  # eval resolution (fully-convolutional head)
+    cfg.DATA.TEST_CROP_SIZE = 256  # eval resolution (fully-conv head)
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
 
-    on_cpu = jax.default_backend() == "cpu"
-    if on_cpu:  # keep the smoke path cheap
+    if jax.default_backend() == "cpu":  # keep the smoke path cheap
         cfg.DATA.NUM_FRAMES = 8
         cfg.DATA.CROP_SIZE = 64
         cfg.DATA.TEST_CROP_SIZE = 64
+    return cfg
 
-    model = build_model(cfg)
-    rng = jax.random.PRNGKey(0)
+
+def _sync(o):
+    """block_until_ready is unreliable on tunneled platforms; a host fetch
+    of a reduction is an unambiguous execution barrier."""
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(o).astype(jnp.float32).sum())
+
+
+def _eval_inputs(cfg, batch):
+    import jax
+    import jax.numpy as jnp
+
     s = cfg.DATA.TEST_CROP_SIZE
     t = cfg.DATA.NUM_FRAMES
-    batch = 2 if on_cpu else 128  # throughput plateau on v5e is ~batch 128
+    key = jax.random.PRNGKey(1)
+    return [
+        jax.random.normal(key, (batch, t // cfg.SLOWFAST.ALPHA, s, s, 3),
+                          jnp.bfloat16),
+        jax.random.normal(key, (batch, t, s, s, 3), jnp.bfloat16),
+    ]
 
+
+def bench_eval(cfg, emit):
+    import functools
+
+    import jax
+
+    from efficient_slowfast_tpu.engine.state import create_train_state, \
+        make_forward
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, _ = create_train_state(cfg, model, rng)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = 2 if on_cpu else 128  # throughput plateau on v5e is ~batch 128
+    inputs = _eval_inputs(cfg, batch)
+    fwd = make_forward(cfg, model)
+
+    _sync(fwd(variables, inputs))  # compile + warmup
+    _sync(fwd(variables, inputs))
+    iters = 3 if on_cpu else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, inputs)
+    _sync(out)  # dispatch is pipelined; the final fetch drains the stream
+    dt = time.perf_counter() - t0
+
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "SlowFast-R50 8x8 K400 30-view eval fwd throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_CLIPS_PER_SEC, 3),
+    })
+    return value
+
+
+def bench_train(cfg, emit):
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_slowfast_tpu.engine.state import (create_train_state,
+                                                     make_train_step)
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg.DATA.TEST_CROP_SIZE = cfg.DATA.CROP_SIZE  # train runs at CROP_SIZE
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(cfg, model, rng)
+    step = make_train_step(cfg, model, tx)
+    batch = 2 if on_cpu else 32  # fits HBM with activations + grads
+    s, t = cfg.DATA.CROP_SIZE, cfg.DATA.NUM_FRAMES
     key = jax.random.PRNGKey(1)
     inputs = [
         jax.random.normal(key, (batch, t // cfg.SLOWFAST.ALPHA, s, s, 3),
                           jnp.bfloat16),
         jax.random.normal(key, (batch, t, s, s, 3), jnp.bfloat16),
     ]
-    variables = jax.jit(functools.partial(model.init, train=False))(
-        {"params": rng, "dropout": rng}, inputs
-    )
+    labels = jnp.zeros((batch,), jnp.int32)
 
-    fwd = jax.jit(functools.partial(model.apply, train=False))
-
-    def sync(o):
-        # block_until_ready is unreliable on tunneled platforms; a host fetch
-        # of a reduction is an unambiguous execution barrier.
-        return float(o.astype(jnp.float32).sum())
-
-    sync(fwd(variables, inputs))  # compile + warmup
-    sync(fwd(variables, inputs))
-
-    iters = 3 if on_cpu else 10
+    state, m = step(state, inputs, labels, 0.1, rng)  # compile
+    _sync(m["loss"])
+    iters = 2 if on_cpu else 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(variables, inputs)
-    sync(out)  # dispatch is pipelined; the final fetch drains the stream
+        state, m = step(state, inputs, labels, 0.1, rng)
+    _sync(m["loss"])
     dt = time.perf_counter() - t0
 
-    clips_per_sec = batch * iters / dt
-    n_chips = jax.device_count()
-    value = clips_per_sec / n_chips
-    print(json.dumps({
-        "metric": "SlowFast-R50 8x8 K400 30-view eval fwd throughput",
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "SlowFast-R50 8x8 train step throughput (fwd+bwd+opt)",
         "value": round(value, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(value / A100_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+        "vs_baseline": None,
+    })
+    return value
+
+
+def bench_pipeline(cfg, emit):
+    """Eval loop fed by the synthetic loader through prefetch_to_device —
+    exercises host decode/collate → device transfer overlap end-to-end."""
+    import jax
+
+    from efficient_slowfast_tpu.data.loader import (construct_loader,
+                                                    prefetch_to_device)
+    from efficient_slowfast_tpu.data.preprocess import make_test_preprocess
+    from efficient_slowfast_tpu.engine.state import (create_train_state,
+                                                     make_forward)
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.parallel.mesh import build_mesh
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 8 if on_cpu else 64
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2 if on_cpu else 10
+    cfg.DATA_LOADER.NUM_WORKERS = 8
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = make_forward(cfg, model)
+    preprocess = make_test_preprocess(cfg)
+    loader = construct_loader(cfg, "test")
+
+    n_clips = 0
+    out = None
+    t0 = None
+    for i, batch in enumerate(prefetch_to_device(
+            loader, mesh, keys=("frames", "width", "spatial_idx"), depth=2)):
+        inputs = preprocess(batch["frames"], batch["width"],
+                            batch["spatial_idx"])
+        out = fwd(variables, inputs)
+        if i == 0:  # first batch pays the compile; start timing after it
+            _sync(out)
+            t0 = time.perf_counter()
+        else:
+            n_clips += batch["frames"].shape[0]
+        if on_cpu and i >= 3:
+            break
+    _sync(out)
+    dt = time.perf_counter() - t0
+    value = n_clips / dt / jax.device_count()
+    emit({
+        "metric": "SlowFast-R50 eval pipeline throughput (loader+prefetch+fwd)",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": None,
+    })
+    return value
+
+
+def bench_mfu(cfg, emit, eval_clips_per_sec=None):
+    """Model FLOPs utilization from XLA cost analysis of the eval fwd."""
+    import functools
+
+    import jax
+
+    from efficient_slowfast_tpu.engine.state import create_train_state, \
+        make_forward
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = 2 if on_cpu else 128
+    inputs = _eval_inputs(cfg, batch)
+
+    # FLOPs from the UNFUSED analytic path (cost analysis of Pallas custom
+    # calls reports the declared estimate; the unfused graph is the model's
+    # true arithmetic).
+    def plain(variables, inputs):
+        return model.apply(variables, inputs, train=False)
+
+    lowered = jax.jit(plain).lower(variables, inputs)
+    cost = lowered.compile().cost_analysis()
+    flops_total = float(cost.get("flops", 0.0))
+    flops_per_clip = flops_total / batch
+
+    if eval_clips_per_sec is None:
+        eval_clips_per_sec = bench_eval(cfg, lambda d: None)
+    achieved_tflops = eval_clips_per_sec * flops_per_clip / 1e12
+    mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
+    emit({
+        "metric": "SlowFast-R50 eval MFU (vs v5e 197 TF/s bf16 peak)",
+        "value": round(mfu * 100.0, 2),
+        "unit": "%",
+        "vs_baseline": None,
+        "gflops_per_clip": round(flops_per_clip / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+    })
+    return mfu
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="eval",
+                    choices=["eval", "train", "pipeline", "mfu", "all"])
+    args = ap.parse_args()
+
+    import jax
+
+    try:  # persistent compile cache makes repeat bench runs near-instant
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    emit = lambda d: print(json.dumps(d), flush=True)
+
+    if args.mode == "eval":
+        bench_eval(_flagship_cfg(), emit)
+    elif args.mode == "train":
+        bench_train(_flagship_cfg(), emit)
+    elif args.mode == "pipeline":
+        bench_pipeline(_flagship_cfg(), emit)
+    elif args.mode == "mfu":
+        bench_mfu(_flagship_cfg(), emit)
+    else:
+        clips = bench_eval(_flagship_cfg(), emit)
+        bench_train(_flagship_cfg(), emit)
+        bench_pipeline(_flagship_cfg(), emit)
+        bench_mfu(_flagship_cfg(), emit, eval_clips_per_sec=clips)
 
 
 if __name__ == "__main__":

@@ -318,6 +318,10 @@ _C.TPU.FLASH_MIN_TOKENS = 1024
 # Largest key count dispatched to the Pallas kernel (Mosaic-validated bound
 # on v5e; larger sizes use the chunked lax.scan path).
 _C.TPU.FLASH_MAX_KEYS = 25088
+# Serve eval through the fused inference engine (folded BN + Pallas fused
+# bottleneck blocks) when the config is inside its envelope
+# (engine/inference.py::supports). Numerically equivalent; ~2x on TPU.
+_C.TPU.FUSED_EVAL = True
 
 
 def get_cfg() -> CfgNode:

@@ -158,7 +158,17 @@ def make_eval_step(cfg, model) -> Callable:
 
 
 def make_forward(cfg, model) -> Callable:
-    """Plain jitted inference forward: (variables, inputs) → preds."""
+    """Jitted inference forward: (variables, inputs) → preds.
+
+    When cfg.TPU.FUSED_EVAL covers this config, eval runs through the
+    fused serving engine (folded BN + Pallas bottleneck blocks,
+    engine/inference.py) — numerically equivalent, ~2x faster on TPU.
+    """
+    if cfg.TPU.FUSED_EVAL:
+        from .inference import make_fused_eval_forward, supports
+
+        if supports(cfg):
+            return make_fused_eval_forward(cfg, model)
 
     def fwd(variables, inputs):
         return model.apply(variables, inputs, train=False)
