@@ -184,7 +184,7 @@ def bench_pipeline(cfg, emit):
 
     on_cpu = jax.default_backend() == "cpu"
     cfg.TEST.DATASET = "synthetic"
-    cfg.TEST.BATCH_SIZE = 8 if on_cpu else 64
+    cfg.TEST.BATCH_SIZE = 8 if on_cpu else 32  # prefetch holds 2 batches
     cfg.DATA.DECODING_BACKEND = "synthetic"
     cfg.TEST.NUM_ENSEMBLE_VIEWS = 2 if on_cpu else 10
     cfg.DATA_LOADER.NUM_WORKERS = 8
@@ -196,6 +196,26 @@ def bench_pipeline(cfg, emit):
     fwd = make_forward(cfg, model)
     preprocess = make_test_preprocess(cfg)
     loader = construct_loader(cfg, "test")
+
+    # host-side loader throughput (decode+collate machinery, no device)
+    n_host = 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(loader):
+        n_host += batch["frames"].shape[0]
+        if i >= (1 if on_cpu else 4):
+            break
+    host_clips = n_host / (time.perf_counter() - t0)
+
+    # raw H2D bandwidth on a few clips (tunneled dev environments are
+    # network-bound here; real TPU VMs do 10+ GB/s over PCIe)
+    sample = next(iter(loader))["frames"][:4]
+    d = jax.device_put(sample)
+    _sync(d[:1, :1, :1, :1])
+    t0 = time.perf_counter()
+    d = jax.device_put(sample)
+    _sync(d[:1, :1, :1, :1])
+    h2d_gbps = sample.nbytes / (time.perf_counter() - t0) / 1e9
+    del d, sample  # free HBM before the pipelined loop
 
     n_clips = 0
     out = None
@@ -210,7 +230,7 @@ def bench_pipeline(cfg, emit):
             t0 = time.perf_counter()
         else:
             n_clips += batch["frames"].shape[0]
-        if on_cpu and i >= 3:
+        if i >= (3 if on_cpu else 6):
             break
     _sync(out)
     dt = time.perf_counter() - t0
@@ -220,6 +240,8 @@ def bench_pipeline(cfg, emit):
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": None,
+        "host_loader_clips_per_sec": round(host_clips, 2),
+        "h2d_gbps": round(h2d_gbps, 3),
     })
     return value
 

@@ -319,9 +319,11 @@ _C.TPU.FLASH_MIN_TOKENS = 1024
 # on v5e; larger sizes use the chunked lax.scan path).
 _C.TPU.FLASH_MAX_KEYS = 25088
 # Serve eval through the fused inference engine (folded BN + Pallas fused
-# bottleneck blocks) when the config is inside its envelope
-# (engine/inference.py::supports). Numerically equivalent; ~2x on TPU.
-_C.TPU.FUSED_EVAL = True
+# bottleneck blocks, engine/inference.py) when the config is inside its
+# envelope. Numerically equivalent (tested), but measured SLOWER than
+# XLA's conv pipeline on v5e at R50 eval shapes — see PERF.md §2. Opt-in
+# for Mosaic experimentation; default stays on the XLA path.
+_C.TPU.FUSED_EVAL = False
 
 
 def get_cfg() -> CfgNode:

@@ -197,12 +197,18 @@ class ClipDataset:
         ) if self.mode == "train" else cfg.DATA.SAMPLING_RATE
         path = self._path_to_videos[index]
         if path.startswith("synthetic://"):
-            seed = (hash(path) + temporal_idx) % (2**31)
-            rs = np.random.RandomState(seed)
+            # serve shifted views of one cached noise buffer: per-clip
+            # RandomState generation (~10 MB/clip) would make the host the
+            # bottleneck and benchmarks would measure numpy, not the loader
             s = self._short_side()
-            return rs.randint(
-                0, 255, (num_frames, s, int(s * 4 / 3), 3), np.uint8
-            )
+            w = int(s * 4 / 3)
+            buf = getattr(self, "_synth_buf", None)
+            if buf is None or buf.shape[1] != s:
+                rs = np.random.RandomState(self.cfg.RNG_SEED)
+                buf = rs.randint(0, 255, (num_frames + 64, s, w, 3), np.uint8)
+                self._synth_buf = buf
+            off = (hash(path) + temporal_idx) % 64
+            return buf[off:off + num_frames]
         from .decoder import decode_clip  # native backend
 
         return decode_clip(
