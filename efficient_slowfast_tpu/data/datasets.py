@@ -65,14 +65,14 @@ def temporal_sample_np(frames: np.ndarray, start_idx, end_idx, num_samples):
     return frames[idx]
 
 
-def fit_canvas(frames: np.ndarray, short: int) -> Tuple[np.ndarray, int]:
-    """Resize so the short side == `short` and fit into (short, 2*short).
+def fit_canvas_into(frames: np.ndarray, short: int,
+                    out: np.ndarray) -> int:
+    """``fit_canvas`` writing directly into a preallocated canvas slot.
 
-    Returns (canvas uint8 (T, short, 2*short, 3), true content width).
-    Wider than 2:1 → center-cropped horizontally. Vertical videos are
-    center-cropped to a square (documented deviation: the reference crops
-    vertically at 3 positions for tall videos; tall clips are rare in the
-    supported benchmarks).
+    Used by the loader's preallocated-batch fast path: workers paste their
+    clip straight into the batch array, skipping the per-clip canvas alloc
+    AND the np.stack copy at collate time (two full passes over the frame
+    bytes on the host hot path).
     """
     t, h, w, _ = frames.shape
     wc = canvas_width(short)
@@ -91,10 +91,25 @@ def fit_canvas(frames: np.ndarray, short: int) -> Tuple[np.ndarray, int]:
         off = (frames.shape[2] - wc) // 2
         frames = frames[:, :, off: off + wc]
     width = frames.shape[2]
+    out[:, :, :width] = frames
     if width < wc:
-        pad = np.zeros((t, short, wc - width, 3), np.uint8)
-        frames = np.concatenate([frames, pad], axis=2)
-    return np.ascontiguousarray(frames), width
+        out[:, :, width:] = 0
+    return width
+
+
+def fit_canvas(frames: np.ndarray, short: int) -> Tuple[np.ndarray, int]:
+    """Resize so the short side == `short` and fit into (short, 2*short).
+
+    Returns (canvas uint8 (T, short, 2*short, 3), true content width).
+    Wider than 2:1 → center-cropped horizontally. Vertical videos are
+    center-cropped to a square (documented deviation: the reference crops
+    vertically at 3 positions for tall videos; tall clips are rare in the
+    supported benchmarks).
+    """
+    t = frames.shape[0]
+    out = np.empty((t, short, canvas_width(short), 3), np.uint8)
+    width = fit_canvas_into(frames, short, out)
+    return out, width
 
 
 def _resize_bilinear(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
@@ -227,7 +242,8 @@ class ClipDataset:
     def __len__(self):
         return len(self._path_to_videos)
 
-    def __getitem__(self, index: int):
+    def _fetch(self, index: int):
+        """Decode + scalar fields; the canvas paste is done by the caller."""
         cfg = self.cfg
         if self.mode in ("train", "val"):
             temporal_idx, spatial_idx = -1, -1
@@ -255,16 +271,31 @@ class ClipDataset:
 
         if cfg.DATA.REVERSE_INPUT_CHANNEL:
             frames = frames[..., ::-1]
-        canvas, width = fit_canvas(frames, self._short_side())
-        return {
-            "frames": canvas,
-            "width": np.int32(width),
+        scalars = {
             "label": np.int64(self._labels[index]),
             "index": np.int64(index // self._num_clips if self.mode == "test"
                               else index),
             "spatial_idx": np.int32(spatial_idx),
             "temporal_idx": np.int32(temporal_idx),
         }
+        return frames, scalars
+
+    def __getitem__(self, index: int):
+        frames, scalars = self._fetch(index)
+        canvas, width = fit_canvas(frames, self._short_side())
+        return {"frames": canvas, "width": np.int32(width), **scalars}
+
+    # -- preallocated-batch fast path (see ClipLoader) --------------------
+    def frames_shape(self) -> Tuple[int, int, int, int]:
+        s = self._short_side()
+        return (self.cfg.DATA.NUM_FRAMES, s, canvas_width(s), 3)
+
+    def getitem_into(self, index: int, frames_out: np.ndarray) -> dict:
+        """__getitem__ pasting the canvas directly into ``frames_out``
+        (one pass over the frame bytes instead of canvas-alloc + stack)."""
+        frames, scalars = self._fetch(index)
+        width = fit_canvas_into(frames, self._short_side(), frames_out)
+        return {"width": np.int32(width), **scalars}
 
 
 @DATASET_REGISTRY.register()

@@ -212,6 +212,12 @@ class ClipLoader:
 
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
+        # preallocated-batch fast path: workers paste frames straight into
+        # the batch array (skips per-clip canvas alloc + np.stack — two
+        # full passes over the frame bytes)
+        fill = (getattr(self.dataset, "getitem_into", None)
+                if not self.batch_size_schedule else None)
+
         def produce():
             try:
                 for phase, batch_idx, batch_valid in batches:
@@ -221,10 +227,20 @@ class ClipLoader:
                     if self.pad_to_full and n_real < self.batch_size:
                         pad = np.full(self.batch_size - n_real, batch_idx[-1])
                         batch_idx = np.concatenate([batch_idx, pad])
-                    samples = list(
-                        pool.map(lambda i: self.dataset[int(i)], batch_idx)
-                    )
-                    collated = _collate(samples)
+                    if fill is not None:
+                        frames = np.empty(
+                            (len(batch_idx),) + self.dataset.frames_shape(),
+                            np.uint8)
+                        scalars = list(pool.map(
+                            lambda ji: fill(int(ji[1]), frames[ji[0]]),
+                            enumerate(batch_idx)))
+                        collated = _collate(scalars)
+                        collated["frames"] = frames
+                    else:
+                        samples = list(
+                            pool.map(lambda i: self.dataset[int(i)], batch_idx)
+                        )
+                        collated = _collate(samples)
                     if self.pad_to_full:
                         # invalid = batch-tail padding OR multi-host wrap dups
                         mask = np.zeros(len(batch_idx), np.float32)
