@@ -136,11 +136,12 @@ def bench_train(cfg, emit):
 
     on_cpu = jax.default_backend() == "cpu"
     cfg.DATA.TEST_CROP_SIZE = cfg.DATA.CROP_SIZE  # train runs at CROP_SIZE
+    cfg.TPU.REMAT = not on_cpu  # stage remat fits 2x the batch (README table)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     state, tx = create_train_state(cfg, model, rng)
     step = make_train_step(cfg, model, tx)
-    batch = 2 if on_cpu else 32  # fits HBM with activations + grads
+    batch = 2 if on_cpu else 64  # with remat; plain bf16 fits 32
     s, t = cfg.DATA.CROP_SIZE, cfg.DATA.NUM_FRAMES
     key = jax.random.PRNGKey(1)
     inputs = [

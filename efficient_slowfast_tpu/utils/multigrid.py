@@ -73,6 +73,16 @@ class MultigridSchedule:
         if bs_factor < 1:
             cfg.BN.NORM_TYPE = "sync_batchnorm"
             cfg.BN.NUM_SYNC_DEVICES = int(1.0 / bs_factor)
+            # Parity note (documented deviation): the reference syncs BN
+            # stats over NUM_SYNC_DEVICES-GPU subgroups
+            # (NaiveSyncBatchNorm3d); under pjit this maps to GLOBAL-batch
+            # statistics (ops/norm.py), i.e. the effective BN batch is the
+            # full global batch rather than NUM_SYNC_DEVICES local shards.
+            logger.info(
+                "multigrid BN switch: sync_batchnorm(NUM_SYNC_DEVICES=%d) "
+                "-> global-batch stats under pjit (see ops/norm.py)",
+                cfg.BN.NUM_SYNC_DEVICES,
+            )
         elif bs_factor > 1:
             cfg.BN.NORM_TYPE = "sub_batchnorm"
             cfg.BN.NUM_SPLITS = int(bs_factor)

@@ -216,3 +216,84 @@ def build_vars_generic(cfg, rng):
     v = jax.jit(functools.partial(model.init, train=False))(
         {"params": rng, "dropout": rng}, x)
     return model, x, v
+
+
+def test_caffe2_checkpoint_end_to_end(tmp_path):
+    """A caffe2-format blobs pickle (the model-zoo `.pkl` layout) loads
+    through TRAIN.CHECKPOINT_TYPE=caffe2 into a Slow-R50 param tree with
+    exact tensor placement (reference: utils/checkpoint.py:206-261 +
+    c2_model_loading.py)."""
+    import pickle
+
+    import functools
+    import jax
+    import numpy as np
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.utils.torch_ckpt import load_torch_checkpoint
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 50
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.CROP_SIZE = 32
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = [jax.numpy.ones((1, 4, 32, 32, 3))]
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, x)
+
+    rs = np.random.RandomState(0)
+    blobs = {
+        # stem: conv1_w (Cout, Cin, T, H, W) + BN
+        "conv1_w": rs.randn(64, 3, 1, 7, 7).astype(np.float32),
+        "res_conv1_bn_s": rs.rand(64).astype(np.float32) + 0.5,
+        "res_conv1_bn_b": rs.randn(64).astype(np.float32),
+        "res_conv1_bn_rm": rs.randn(64).astype(np.float32),
+        "res_conv1_bn_riv": rs.rand(64).astype(np.float32) + 0.5,
+        # one res block conv + bn
+        "res2_0_branch2a_w": rs.randn(64, 64, 1, 1, 1).astype(np.float32),
+        "res2_0_branch2a_bn_s": rs.rand(64).astype(np.float32) + 0.5,
+        "res2_0_branch2a_bn_rm": rs.randn(64).astype(np.float32),
+        # projection shortcut
+        "res2_0_branch1_w": rs.randn(256, 64, 1, 1, 1).astype(np.float32),
+        # head
+        "pred_w": rs.randn(5, 2048).astype(np.float32),
+        "pred_b": rs.randn(5).astype(np.float32),
+        # momentum blobs must be skipped
+        "conv1_w_momentum": np.zeros((64, 3, 1, 7, 7), np.float32),
+    }
+    path = tmp_path / "c2_model.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    params, batch_stats = load_torch_checkpoint(
+        cfg, str(path), variables["params"], variables["batch_stats"],
+        caffe2=True)
+
+    stem = params["s1"]["pathway0_stem"]
+    np.testing.assert_array_equal(
+        np.asarray(stem["conv"]["conv"]["kernel"]),
+        np.transpose(blobs["conv1_w"], (2, 3, 4, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(stem["bn"]["bn"]["scale"]), blobs["res_conv1_bn_s"])
+    np.testing.assert_array_equal(
+        np.asarray(batch_stats["s1"]["pathway0_stem"]["bn"]["bn"]["mean"]),
+        blobs["res_conv1_bn_rm"])
+    blk = params["s2"]["pathway0_res0"]
+    np.testing.assert_array_equal(
+        np.asarray(blk["branch2"]["a"]["conv"]["kernel"]),
+        np.transpose(blobs["res2_0_branch2a_w"], (2, 3, 4, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(blk["branch1"]["conv"]["kernel"]),
+        np.transpose(blobs["res2_0_branch1_w"], (2, 3, 4, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["projection"]["fc"]["kernel"]),
+        blobs["pred_w"].T)
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["projection"]["fc"]["bias"]), blobs["pred_b"])
