@@ -256,13 +256,16 @@ class ClipDataset:
             )
 
         # decode with retry + random replacement (reference kinetics.py:192-255)
+        # — replacement only outside test mode: the multi-view TestMeter
+        # requires every video's full clip set and raises on a mismatch, so
+        # substituting a random video would double-count it and still fail
         for retry in range(self._num_retries):
             frames = self._decode_clip(index, temporal_idx)
             if frames is not None:
                 break
             logger.warning("Failed to decode %s; retry %d",
                            self._path_to_videos[index], retry)
-            if retry >= 2:
+            if retry >= 2 and self.mode != "test":
                 index = random.randint(0, len(self) - 1)
         else:
             raise RuntimeError(
@@ -383,7 +386,10 @@ class Framefolder(ClipDataset):
             y0 = random.randint(0, max(int(0.1 * h) - 1, 0))
         y1 = h
         if cfg.DATA.HALF_FACE:
-            r = 0.5 + 0.1 * random.random()  # reference: ratio in [0.5, 0.6]
+            # reference: ratio in [0.5, 0.6]; jitter only while training —
+            # eval preprocessing must be deterministic run-to-run
+            r = (0.5 + 0.1 * random.random()
+                 if self.mode in ("train", "val") else 0.55)
             y1 = int(r * h)
         gray = gray[:, y0:y1, x0:]
 

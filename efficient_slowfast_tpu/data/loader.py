@@ -45,15 +45,15 @@ def shard_indices(indices: np.ndarray, process_count: int,
     assert 0 <= pi < pc, (pi, pc)
     if pc == 1:
         return indices, n
+    assert n > 0, "cannot shard an empty dataset"
     per = -(-n // pc)  # ceil
-    pad = per * pc - n
-    if pad:
-        indices = np.concatenate([indices, indices[:pad]])
-    host = indices[pi::pc]
-    # round-robin puts the `pad` wrapped duplicates (global positions >= n,
-    # i.e. hosts with pi >= n % pc) in each host's last slot
-    rem = n % pc
-    n_valid = per - (1 if rem and pi >= rem else 0)
+    # tile (np.resize) so padding works even when n < pc
+    padded = np.resize(indices, per * pc)
+    host = padded[pi::pc]
+    # host pi holds global positions {pi + k*pc}; positions >= n are the
+    # wrapped duplicates, and since positions increase with k they form
+    # the TAIL of the host's list
+    n_valid = max(0, -(-(n - pi) // pc)) if pi < n else 0
     return host, n_valid
 
 
@@ -214,9 +214,17 @@ class ClipLoader:
 
         # preallocated-batch fast path: workers paste frames straight into
         # the batch array (skips per-clip canvas alloc + np.stack — two
-        # full passes over the frame bytes)
-        fill = (getattr(self.dataset, "getitem_into", None)
-                if not self.batch_size_schedule else None)
+        # full passes over the frame bytes). Only taken when the dataset
+        # does NOT override __getitem__ (getitem_into routes through the
+        # base _fetch, so a custom __getitem__ would silently be bypassed).
+        fill = None
+        if not self.batch_size_schedule:
+            base = type(self.dataset).__getitem__
+            from .datasets import ClipDataset
+
+            if (isinstance(self.dataset, ClipDataset)
+                    and base is ClipDataset.__getitem__):
+                fill = self.dataset.getitem_into
 
         def produce():
             try:
@@ -268,6 +276,21 @@ class ClipLoader:
                 yield payload
         finally:
             stop.set()
+            _drain_queue(out_q, t)
+
+
+def _drain_queue(q, thread) -> None:
+    """Unblock a producer stuck in q.put() after a consumer early-exit.
+
+    Without this, breaking out of the iterator leaves the producer thread
+    blocked forever on the full queue (leaking the worker pool plus the
+    prefetched frame batches it holds).
+    """
+    while thread.is_alive():
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            thread.join(timeout=0.05)
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:
@@ -328,3 +351,4 @@ def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
             yield dev
     finally:
         stop.set()
+        _drain_queue(q, t)

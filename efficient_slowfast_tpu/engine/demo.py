@@ -58,6 +58,14 @@ def demo(cfg):
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    # warm up the compiled preprocess+forward on a dummy window so the
+    # first window's FPS overlay measures inference, not compilation
+    _warm = np.zeros((cfg.DATA.NUM_FRAMES, short, short * 2, 3), np.uint8)
+    rep = replicated(mesh)
+    _ = fwd(variables, preprocess(
+        jax.device_put(_warm[None], rep),
+        jax.device_put(np.asarray([short], np.int32), rep),
+        jax.device_put(np.asarray([1], np.int32), rep)))
     t0 = time.time()
     t_prev = t0
     for widx in range(num_windows):

@@ -25,14 +25,11 @@ reports applicability; callers fall back to ``model.apply`` otherwise.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.slowfast import (_MODEL_STAGE_DEPTH, _POOL1,
-                               _TEMPORAL_KERNEL_BASIS)
+from ..models.slowfast import _MODEL_STAGE_DEPTH, _POOL1
 from ..ops.pallas.fused_bottleneck import (bottleneck_reference, fold_bn,
                                            fused_bottleneck)
 
@@ -54,6 +51,9 @@ def supports(cfg) -> bool:
             and not cfg.MODEL.SLOW_PATHWAY_HEAD
             and not cfg.MULTIGRID.SHORT_CYCLE
             and cfg.RESNET.DEPTH in _MODEL_STAGE_DEPTH
+            # the engine's head hardcodes softmax-then-mean
+            and cfg.MODEL.HEAD_ACT == "softmax"
+            and not cfg.DATA.MULTI_LABEL
         )
     except Exception:
         return False
@@ -147,13 +147,10 @@ def make_fused_eval_forward(cfg, variables=None):
     dtype = get_compute_dtype(cfg)
     arch = cfg.MODEL.ARCH
     depths = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
-    w0 = cfg.RESNET.WIDTH_PER_GROUP
     beta = cfg.SLOWFAST.BETA_INV
     alpha = cfg.SLOWFAST.ALPHA
-    temp_kernel = _TEMPORAL_KERNEL_BASIS[arch]
     pool1 = _POOL1[arch]
     strides = [s[0] for s in cfg.RESNET.SPATIAL_STRIDES]
-    nbtk = cfg.RESNET.NUM_BLOCK_TEMP_KERNEL
     use_pallas = jax.default_backend() == "tpu"
 
     def forward(variables, inputs):
@@ -188,12 +185,11 @@ def make_fused_eval_forward(cfg, variables=None):
 
         x = fuse(x, "s1_fuse")
 
-        # ---- stages -------------------------------------------------------
+        # ---- stages (per-block temporal kernels come from the checkpoint
+        # weight shapes themselves, so no schedule recomputation here) -----
         for si, stage in enumerate(("s2", "s3", "s4", "s5")):
             nb = depths[si]
             for pw in range(2):
-                tks = ((list(temp_kernel[si + 1][pw]) * nb)[: nbtk[si][pw]]
-                       + [1] * (nb - nbtk[si][pw]))
                 y = x[pw]
                 for i in range(nb):
                     y = _block(y, p[stage], s[stage], f"pathway{pw}_res{i}",

@@ -127,6 +127,7 @@ from efficient_slowfast_tpu.data.loader import shard_indices
 @pytest.mark.parametrize("n,pc", [
     (30, 1), (30, 2), (30, 8),   # 30 % 8 = 6 → remainder tail
     (31, 2), (17, 8), (8, 8), (7, 8), (1, 2), (240, 8),
+    (3, 8), (1, 8), (2, 3),      # n < pc: some hosts get only duplicates
 ])
 def test_shard_indices_cover_all_samples_exactly_once(n, pc):
     order = np.random.RandomState(0).permutation(n)
@@ -214,3 +215,55 @@ def test_gather_across_hosts_unaligned(monkeypatch):
         # host order preserved, no padding rows leak through
         np.testing.assert_array_equal(g_labels[:3], world[0][1])
         np.testing.assert_array_equal(g_labels[3:], world[1][1])
+
+
+def test_consumer_early_exit_stops_producer():
+    """Breaking out of the iterator must unblock and finish the producer
+    thread (it was left blocked on the full prefetch queue forever)."""
+    import threading
+
+    before = threading.active_count()
+    loader = ClipLoader(_ArrayDataset(200), batch_size=4, prefetch=2)
+    for i, _ in enumerate(loader):
+        if i >= 1:
+            break  # early exit with the queue full
+    # generator finalization drains the queue and joins the producer
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.02)
+        deadline -= 1
+    assert threading.active_count() <= before + 1  # pool threads may linger
+
+
+def test_decode_failure_in_test_mode_raises(tmp_path, monkeypatch):
+    """Test mode must fail loudly on an undecodable clip instead of
+    substituting a random video (which double-counts in the TestMeter)."""
+    import pytest as _pytest
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    cfg = get_cfg()
+    cfg.TEST.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    ds = build_dataset("synthetic", cfg, "test")
+    monkeypatch.setattr(type(ds), "_decode_clip", lambda self, i, t: None)
+    with _pytest.raises(RuntimeError, match="Failed to fetch"):
+        ds[0]
+
+    # train mode still substitutes (reference kinetics.py:192-255)
+    ds_train = build_dataset("synthetic", cfg, "train")
+    calls = []
+    orig = type(ds_train).__mro__[1]._decode_clip  # ClipDataset impl
+
+    def flaky(self, i, t):
+        calls.append(i)
+        return None if len(calls) < 5 else orig(self, i, t)
+
+    monkeypatch.setattr(type(ds_train), "_decode_clip", flaky)
+    item = ds_train[0]
+    assert "label" in item and len(calls) >= 5
