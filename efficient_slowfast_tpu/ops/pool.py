@@ -29,6 +29,15 @@ def avg_pool3d(x, kernel, stride=None, padding=(0, 0, 0)):
     k = _triple(kernel)
     s = _triple(stride) if stride is not None else k
     p = _triple(padding)
+    # Fail loudly where torch would: a window larger than the (padded)
+    # input yields an empty output — downstream that surfaces as silent
+    # NaNs (e.g. a head pool built from a stale cfg.DATA.NUM_FRAMES).
+    for d in range(3):
+        if k[d] > x.shape[1 + d] + 2 * p[d]:
+            raise ValueError(
+                f"avg_pool3d window {k} larger than input "
+                f"{x.shape[1:4]} (padding {p})"
+            )
     # count_include_pad=True to match torch.nn.AvgPool3d default.
     return nn.avg_pool(
         x, window_shape=k, strides=s, padding=[(pi, pi) for pi in p],

@@ -50,13 +50,13 @@ def _resnet_cfg(cfg):
     return cfg
 
 
-def _randomize(module, seed=0):
+def _randomize(module, seed=0, std=0.1):
     """Give every parameter/buffer non-trivial values so parity is
     distinguishable from luck (BN stats included)."""
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for p in module.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+            p.copy_(torch.randn(p.shape, generator=g) * std)
         for name, b in module.named_buffers():
             if name.endswith("running_mean"):
                 b.copy_(torch.randn(b.shape, generator=g) * 0.05)
@@ -83,7 +83,8 @@ def _import_weights(cfg, tmodel, tmp_path):
     return model, {"params": params, "batch_stats": stats}
 
 
-def _compare(cfg, tmodel, tmp_path, seed=0):
+def _compare(cfg, tmodel, tmp_path, seed=0, train_tol=None,
+             eval_probs=True):
     tmodel = _randomize(tmodel, seed)
     model, variables = _import_weights(cfg, tmodel, tmp_path)
 
@@ -105,8 +106,9 @@ def _compare(cfg, tmodel, tmp_path, seed=0):
         ref_eval = tmodel(xt).numpy()
     ours_eval = np.asarray(model.apply(variables, xj, train=False))
     np.testing.assert_allclose(ours_eval, ref_eval, err_msg="eval", **TOL)
-    # eval rows are probability means — sanity-check they sum to 1
-    np.testing.assert_allclose(ours_eval.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
+    if eval_probs:
+        # eval rows are probability means — sanity-check they sum to 1
+        np.testing.assert_allclose(ours_eval.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
 
     # train-logit mode: batch statistics + raw logits (dropout = 0)
     tmodel.train()
@@ -116,7 +118,8 @@ def _compare(cfg, tmodel, tmp_path, seed=0):
         variables, xj, train=True, mutable=["batch_stats"],
         rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_allclose(
-        np.asarray(ours_train), ref_train, err_msg="train", **TOL)
+        np.asarray(ours_train), ref_train, err_msg="train",
+        **(train_tol or TOL))
 
 
 def test_slowfast_r18_full_model_parity(tmp_path):
@@ -151,3 +154,94 @@ def test_shufflenetv2_full_model_parity(tmp_path):
     tmodel = TorchShuffleNetV2(num_classes=6, width_mult=0.25, alpha=4,
                                beta_inv=8)
     _compare(cfg, tmodel, tmp_path)
+
+
+def test_mobilenetv2_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchMobileNetV2
+
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastMoibleNetV2"
+    cfg.SLOWFAST.WIDTH_MULTI = 1.0
+    tmodel = TorchMobileNetV2(num_classes=6, width_mult=1.0, alpha=4,
+                              beta_inv=8)
+    # ~60 BN layers: train-mode batch statistics accumulate f32 reduction
+    # rounding; eval (running stats) still matches at 1e-4
+    _compare(cfg, tmodel, tmp_path,
+             train_tol=dict(rtol=1e-3, atol=2e-3))
+
+
+def test_shufflenet_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchShuffleNet
+
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNet"
+    # w2.0 g3 is the published headline variant (README K400 53.84); w1.0 g3
+    # has group-indivisible fast channels in the reference too. Crop 64 keeps
+    # the s4 shortcut avg-pool window inside the feature map.
+    cfg.DATA.CROP_SIZE = 64
+    cfg.SLOWFAST.WIDTH_MULTI = 2.0
+    cfg.SLOWFAST.GROUPS = 3
+    tmodel = TorchShuffleNet(num_classes=6, width_mult=2.0, groups=3,
+                             alpha=4, beta_inv=8)
+    _compare(cfg, tmodel, tmp_path,
+             train_tol=dict(rtol=1e-3, atol=2e-3))
+
+
+def test_ghostnet_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchGhostNet
+
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastGhostNet"
+    cfg.SLOWFAST.WIDTH_MULTI = 1.0
+    tmodel = TorchGhostNet(num_classes=6, width_mult=1.0, alpha=4, beta_inv=8)
+    # eval head is ReLU-then-mean (faithful reference quirk), not a
+    # probability distribution
+    _compare(cfg, tmodel, tmp_path, train_tol=dict(rtol=1e-3, atol=2e-3),
+             eval_probs=False)
+
+
+def test_slow_resnet_full_model_parity(tmp_path):
+    """Single-pathway ResNet family (arch=slow)."""
+    from tests.torch_golden import TorchSlowR18
+
+    cfg = _resnet_cfg(_base_cfg())
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.DATA.NUM_FRAMES = 4  # head pool window derives from this
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[]]] * 4
+    cfg.NONLOCAL.GROUP = [[1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2]]] * 4
+    # std 0.05: at 0.1 the 256-channel tail stages overflow f32 through
+    # the un-normalized final BN products (torch saturates identically)
+    tmodel = _randomize(TorchSlowR18(num_classes=6, width=8, num_frames=4,
+                                     crop=32), std=0.05)
+
+    import torch as _torch
+
+    model = build_model(cfg)
+    t, s = 4, 32
+    x = [jnp.zeros((2, t, s, s, 3))]
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": k, "dropout": k}, x)
+    ckpt = str(tmp_path / "golden_slow.pyth")
+    _torch.save({"model_state": tmodel.state_dict(), "epoch": 0}, ckpt)
+    params, stats = load_torch_checkpoint(
+        cfg, ckpt, v["params"], v.get("batch_stats", {}))
+    variables = {"params": params, "batch_stats": stats}
+
+    rs = np.random.RandomState(3)
+    frames = rs.randn(2, 3, t, s, s).astype(np.float32)
+    xj = [jnp.asarray(np.transpose(frames, (0, 2, 3, 4, 1)))]
+    xt = [_torch.from_numpy(frames)]
+
+    tmodel.eval()
+    with _torch.no_grad():
+        ref = tmodel(xt).numpy()
+    ours = np.asarray(model.apply(variables, xj, train=False))
+    np.testing.assert_allclose(ours, ref, **TOL)
+    np.testing.assert_allclose(ours.sum(-1), 1.0, rtol=1e-4, atol=1e-4)

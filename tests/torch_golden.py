@@ -478,3 +478,548 @@ class TorchShuffleNetV2(nn.Module):
         x = self.s4(x)
         x = self.s4_fuse(x)
         return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# SlowFastMoibleNetV2
+# ---------------------------------------------------------------------------
+
+class _MBConv(nn.Module):
+    """MobileNetV2 inverted residual with a `.conv` Sequential
+    (reference mobilenetv2_helper.py:30-68)."""
+
+    def __init__(self, inp, oup, stride, expand):
+        super().__init__()
+        hidden = round(inp * expand)
+        self.use_res = stride == (1, 1, 1) and inp == oup
+        if expand == 1:
+            self.conv = nn.Sequential(
+                nn.Conv3d(hidden, hidden, 3, stride, 1, groups=hidden,
+                          bias=False),
+                nn.BatchNorm3d(hidden), nn.ReLU6(),
+                nn.Conv3d(hidden, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm3d(oup))
+        else:
+            self.conv = nn.Sequential(
+                nn.Conv3d(inp, hidden, 1, 1, 0, bias=False),
+                nn.BatchNorm3d(hidden), nn.ReLU6(),
+                nn.Conv3d(hidden, hidden, 3, stride, 1, groups=hidden,
+                          bias=False),
+                nn.BatchNorm3d(hidden), nn.ReLU6(),
+                nn.Conv3d(hidden, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm3d(oup))
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class _MBBlocks(nn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.features = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class MBStage(nn.Module):
+    """Two-pathway stage named pathway{p}_channel_{c_raw}
+    (reference mobilenetv2_helper.py:258-345)."""
+
+    def __init__(self, inputs, rows, width_mult, beta_inv):
+        super().__init__()
+        self.names = []
+        for p, inp in enumerate(inputs):
+            blocks = []
+            cin = inp
+            for t_, c, n, s in rows:
+                cout = (int(c * width_mult) if p == 0
+                        else int(c * width_mult // beta_inv))
+                for i in range(n):
+                    blocks.append(_MBConv(cin, cout,
+                                          tuple(s) if i == 0 else (1, 1, 1),
+                                          t_))
+                    cin = cout
+            name = f"pathway{p}_channel_{rows[0][1]}"
+            self.add_module(name, _MBBlocks(blocks))
+            self.names.append(name)
+        self.out_channels = [
+            (int(rows[-1][1] * width_mult) if p == 0
+             else int(rows[-1][1] * width_mult // beta_inv))
+            for p in range(len(inputs))
+        ]
+
+    def forward(self, x):
+        return [getattr(self, n)(xi) for n, xi in zip(self.names, x)]
+
+
+class _MBStem(nn.Module):
+    def __init__(self, co):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv3d(3, co, 3, (1, 2, 2), 1, bias=False),
+            nn.BatchNorm3d(co), nn.ReLU6())
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class MBStem(nn.Module):
+    """conv_bn 3x3x3/s(1,2,2) + ReLU6 per pathway
+    (reference stem_helper.py:181-232)."""
+
+    def __init__(self, dims_out):
+        super().__init__()
+        for p, co in enumerate(dims_out):
+            self.add_module(f"pathway{p}_stem", _MBStem(co))
+        self.n = len(dims_out)
+
+    def forward(self, x):
+        return [getattr(self, f"pathway{p}_stem")(x[p]) for p in range(self.n)]
+
+
+class MBHead(nn.Module):
+    """per-pathway conv1x1x1+BN+ReLU6 → global avgpool → concat → classifier
+    (reference head_helper.py:436-486)."""
+
+    def __init__(self, dims_in, last, num_classes, dropout=0.0):
+        super().__init__()
+        self.n = len(dims_in)
+        for p, (ci, co) in enumerate(zip(dims_in, last)):
+            self.add_module(f"pathway{p}_conv1x1x1", nn.Sequential(
+                nn.Conv3d(ci, co, 1, 1, 0, bias=False),
+                nn.BatchNorm3d(co), nn.ReLU6()))
+        self.classifier = nn.Sequential(
+            nn.Dropout(dropout), nn.Linear(sum(last), num_classes, bias=True))
+
+    def forward(self, x):
+        pooled = []
+        for p in range(self.n):
+            h = getattr(self, f"pathway{p}_conv1x1x1")(x[p])
+            pooled.append(F.avg_pool3d(h, h.shape[-3:]))
+        h = torch.cat(pooled, 1).permute(0, 2, 3, 4, 1)
+        h = self.classifier(h)
+        if not self.training:
+            h = torch.softmax(h, dim=4).mean([1, 2, 3])
+        return h.view(h.shape[0], -1)
+
+
+class TorchMobileNetV2(nn.Module):
+    """SlowFastMoibleNetV2 (reference custom_video_model_builder.py:1057-1285;
+    stage layout per forward :1262-1285: s2=rows[0:2], s4=rows[2:3],
+    s5=rows[3:4], s6=rows[4:5], s7=rows[5:6], s8=rows[6:], CMDA fuse after
+    s2/s4/s5/s7)."""
+
+    SETTINGS = [(1, 16, 1, (1, 1, 1)), (6, 24, 2, (1, 2, 2)),
+                (6, 32, 3, (1, 2, 2)), (6, 64, 4, (1, 2, 2)),
+                (6, 96, 3, (1, 1, 1)), (6, 160, 3, (1, 2, 2)),
+                (6, 320, 1, (1, 1, 1))]
+
+    def __init__(self, num_classes=6, width_mult=1.0, alpha=4, beta_inv=8):
+        super().__init__()
+        wm, beta = width_mult, beta_inv
+        rows = self.SETTINGS
+        cs = [int(32 * wm), int(32 * (wm / beta))]
+        self.s1 = MBStem(cs)
+
+        def mkstage(name, rws, cin):
+            st = MBStage(cin, rws, wm, beta)
+            self.add_module(name, st)
+            return st.out_channels
+
+        def mkfuse(name, ch):
+            self.add_module(name, FuseFastAndSlow(ch[0], ch[1], alpha, beta))
+            return [ch[0] + ch[1], ch[1] + ch[0] // beta]
+
+        ch = mkstage("s2", rows[0:2], cs)
+        ch = mkfuse("s3_fuse", ch)
+        ch = mkstage("s4", rows[2:3], ch)
+        ch = mkfuse("s4_fuse", ch)
+        ch = mkstage("s5", rows[3:4], ch)
+        ch = mkfuse("s5_fuse", ch)
+        ch = mkstage("s6", rows[4:5], ch)
+        ch = mkstage("s7", rows[5:6], ch)
+        ch = mkfuse("s7_fuse", ch)
+        ch = mkstage("s8", rows[6:], ch)
+        last = int(1280 * wm) if wm > 1.0 else 1280
+        self.head = MBHead(ch, [last, last // beta], num_classes)
+
+    def forward(self, x):
+        x = self.s1([t for t in x])
+        x = self.s2(x)
+        x = self.s3_fuse(x)
+        x = self.s4(x)
+        x = self.s4_fuse(x)
+        x = self.s5(x)
+        x = self.s5_fuse(x)
+        x = self.s6(x)
+        x = self.s7(x)
+        x = self.s7_fuse(x)
+        x = self.s8(x)
+        return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# SlowFastShuffleNet (grouped v1)
+# ---------------------------------------------------------------------------
+
+class _SNBottleneck(nn.Module):
+    """Grouped 1x1 bottleneck + channel shuffle + avgpool shortcut
+    (reference shufflenet_helper.py:37-85)."""
+
+    def __init__(self, inp, oup, stride, groups):
+        super().__init__()
+        self.stride = stride
+        self.groups = groups
+        mid = oup // 2 if stride == 2 else oup // 4
+        out_c = oup - oup // 2 if stride == 2 else oup
+        g = 1 if inp == 24 else groups
+        self.conv1 = nn.Conv3d(inp, mid, 1, groups=g, bias=False)
+        self.bn1 = nn.BatchNorm3d(mid)
+        self.conv2 = nn.Conv3d(mid, mid, 3, (1, stride, stride), 1,
+                               groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm3d(mid)
+        self.conv3 = nn.Conv3d(mid, out_c, 1, groups=groups, bias=False)
+        self.bn3 = nn.BatchNorm3d(out_c)
+        if stride == 2:
+            self.shortcut = nn.Sequential(
+                nn.Conv3d(inp, mid, 1, bias=False),
+                nn.AvgPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)))
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = _channel_shuffle(y, self.groups)
+        y = self.bn2(self.conv2(y))
+        y = self.bn3(self.conv3(y))
+        if self.stride == 2:
+            return F.relu(torch.cat([y, self.shortcut(x)], 1))
+        return F.relu(y + x)
+
+
+class _SNBlocks(nn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.features = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class SNStage(nn.Module):
+    def __init__(self, inputs, outs, repeats, groups):
+        super().__init__()
+        self.names = []
+        for p, (inp, oup) in enumerate(zip(inputs, outs)):
+            blocks = []
+            cin = inp
+            for i in range(repeats):
+                blocks.append(_SNBottleneck(cin, oup, 2 if i == 0 else 1,
+                                            groups))
+                cin = oup
+            name = f"pathway{p}_channel_{oup}"
+            self.add_module(name, _SNBlocks(blocks))
+            self.names.append(name)
+
+    def forward(self, x):
+        return [getattr(self, n)(xi) for n, xi in zip(self.names, x)]
+
+
+class SNHead(nn.Module):
+    """pool + concat + classifier, no pre-conv (reference
+    head_helper.py:562-609)."""
+
+    def __init__(self, dims_in, num_classes, dropout=0.0):
+        super().__init__()
+        self.n = len(dims_in)
+        self.classifier = nn.Sequential(
+            nn.Dropout(dropout),
+            nn.Linear(sum(dims_in), num_classes, bias=True))
+
+    def forward(self, x):
+        pooled = [F.avg_pool3d(x[p], x[p].shape[-3:]) for p in range(self.n)]
+        h = torch.cat(pooled, 1).permute(0, 2, 3, 4, 1)
+        h = self.classifier(h)
+        if not self.training:
+            h = torch.softmax(h, dim=4).mean([1, 2, 3])
+        return h.view(h.shape[0], -1)
+
+
+class TorchShuffleNet(nn.Module):
+    """SlowFastShuffleNet (reference custom_video_model_builder.py:620-789;
+    out_planes table :646-661; CMDA fuse after s1 and every stage)."""
+
+    TABLES = {1: [24, 144, 288, 567], 2: [24, 200, 400, 800],
+              3: [24, 240, 480, 960], 4: [24, 272, 544, 1088],
+              8: [24, 384, 768, 1536]}
+
+    def __init__(self, num_classes=6, width_mult=1.0, groups=3, alpha=4,
+                 beta_inv=8):
+        super().__init__()
+        slow = [int(c * width_mult) for c in self.TABLES[groups]]
+        fast = [c // beta_inv for c in slow]
+        self.s1 = SNV2Stem([slow[0], fast[0]])  # same conv/bn/relu/maxpool stem
+        self.s1_fuse = FuseFastAndSlow(slow[0], fast[0], alpha, beta_inv)
+        ch = [slow[0] + fast[0], fast[0] + slow[0] // beta_inv]
+        reps = [4, 8, 4]
+        for i, name in enumerate(("s2", "s3", "s4")):
+            outs = [slow[i + 1], fast[i + 1]]
+            self.add_module(name, SNStage(ch, outs, reps[i], groups))
+            self.add_module(f"{name}_fuse",
+                            FuseFastAndSlow(outs[0], outs[1], alpha, beta_inv))
+            ch = [outs[0] + outs[1], outs[1] + outs[0] // beta_inv]
+        self.head = SNHead(ch, num_classes)
+
+    def forward(self, x):
+        x = self.s1([t for t in x])
+        x = self.s1_fuse(x)
+        for name in ("s2", "s3", "s4"):
+            x = getattr(self, name)(x)
+            x = getattr(self, f"{name}_fuse")(x)
+        return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# SlowFastGhostNet
+# ---------------------------------------------------------------------------
+
+def _make_divisible(v, divisor=4, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _GhostSE(nn.Module):
+    def __init__(self, in_chs, se_ratio=0.25):
+        super().__init__()
+        red = _make_divisible(in_chs * se_ratio, 4)
+        self.conv_reduce = nn.Conv3d(in_chs, red, 1, bias=True)
+        self.conv_expand = nn.Conv3d(red, in_chs, 1, bias=True)
+
+    def forward(self, x):
+        y = x.mean((-3, -2, -1), keepdim=True)
+        y = F.relu(self.conv_reduce(y))
+        y = self.conv_expand(y)
+        return x * (F.relu6(y + 3.0) / 6.0)
+
+
+class _GhostModule(nn.Module):
+    def __init__(self, inp, oup, kernel_size=1, ratio=2, dw_size=3,
+                 stride=1, relu=True):
+        super().__init__()
+        import math as _math
+
+        self.oup = oup
+        init_c = _math.ceil(oup / ratio)
+        new_c = init_c * (ratio - 1)
+        self.primary_conv = nn.Sequential(
+            nn.Conv3d(inp, init_c, (1, kernel_size, kernel_size),
+                      (1, stride, stride),
+                      (0, kernel_size // 2, kernel_size // 2), bias=False),
+            nn.BatchNorm3d(init_c),
+            nn.ReLU() if relu else nn.Identity())
+        self.cheap_operation = nn.Sequential(
+            nn.Conv3d(init_c, new_c, dw_size, 1, dw_size // 2,
+                      groups=init_c, bias=False),
+            nn.BatchNorm3d(new_c),
+            nn.ReLU() if relu else nn.Identity())
+
+    def forward(self, x):
+        x1 = self.primary_conv(x)
+        x2 = self.cheap_operation(x1)
+        return torch.cat([x1, x2], 1)[:, : self.oup]
+
+
+class _GhostBottleneck(nn.Module):
+    def __init__(self, inp, mid, oup, k, stride, se_ratio):
+        super().__init__()
+        self.stride = stride
+        self.ghost1 = _GhostModule(inp, mid, relu=True)
+        if stride > 1:
+            self.conv_dw = nn.Conv3d(mid, mid, (1, k, k), (1, stride, stride),
+                                     (0, (k - 1) // 2, (k - 1) // 2),
+                                     groups=mid, bias=False)
+            self.bn_dw = nn.BatchNorm3d(mid)
+        self.se = _GhostSE(mid, se_ratio) if se_ratio > 0 else None
+        self.ghost2 = _GhostModule(mid, oup, relu=False)
+        if inp == oup and stride == 1:
+            self.shortcut = None
+        else:
+            self.shortcut = nn.Sequential(
+                nn.Conv3d(inp, inp, (1, k, k), (1, stride, stride),
+                          (0, (k - 1) // 2, (k - 1) // 2), groups=inp,
+                          bias=False),
+                nn.BatchNorm3d(inp),
+                nn.Conv3d(inp, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm3d(oup))
+
+    def forward(self, x):
+        y = self.ghost1(x)
+        if self.stride > 1:
+            y = self.bn_dw(self.conv_dw(y))
+        if self.se is not None:
+            y = self.se(y)
+        y = self.ghost2(y)
+        sc = x if self.shortcut is None else self.shortcut(x)
+        return y + sc
+
+
+class _GhostBlocks(nn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.features = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class GhostStage(nn.Module):
+    def __init__(self, inputs, slow_rows, fast_rows):
+        super().__init__()
+        self.names = []
+        for p, (inp, rows) in enumerate(zip(inputs, (slow_rows, fast_rows))):
+            blocks = []
+            cin = inp
+            for k, mid, c, se, s in rows:
+                blocks.append(_GhostBottleneck(cin, mid, c, int(k), int(s),
+                                               float(se)))
+                cin = c
+            name = f"pathway{p}_channel_{rows[-1][2]}"
+            self.add_module(name, _GhostBlocks(blocks))
+            self.names.append(name)
+
+    def forward(self, x):
+        return [getattr(self, n)(xi) for n, xi in zip(self.names, x)]
+
+
+class _GhostHeadConv(nn.Module):
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv = nn.Conv3d(ci, co, 1, 1, 0, bias=False)
+        self.bn1 = nn.BatchNorm3d(co)
+
+    def forward(self, x):
+        return F.relu(self.bn1(self.conv(x)))
+
+
+class GhostHead(nn.Module):
+    """stage5 conv → pool → conv_head → ReLU → concat → classifier; the
+    reference overwrites the eval activation with ReLU
+    (head_helper.py:665) — reproduced."""
+
+    def __init__(self, mids_in, mids, outs, num_classes, dropout=0.0):
+        super().__init__()
+        self.stage5_conv_slow = _GhostHeadConv(mids_in[0], mids[0])
+        self.stage5_conv_fast = _GhostHeadConv(mids_in[1], mids[1])
+        self.conv_head_slow = nn.Conv3d(mids[0], outs[0], 1, bias=True)
+        self.conv_head_fast = nn.Conv3d(mids[1], outs[1], 1, bias=True)
+        self.classifier = nn.Sequential(
+            nn.Dropout(dropout), nn.Linear(sum(outs), num_classes, bias=True))
+
+    def forward(self, x):
+        pooled = []
+        for p, (s5, ch) in enumerate((
+                (self.stage5_conv_slow, self.conv_head_slow),
+                (self.stage5_conv_fast, self.conv_head_fast))):
+            h = s5(x[p])
+            h = F.avg_pool3d(h, h.shape[-3:])
+            pooled.append(F.relu(ch(h)))
+        h = torch.cat(pooled, 1).permute(0, 2, 3, 4, 1)
+        h = self.classifier(h)
+        if not self.training:
+            h = F.relu(h).mean([1, 2, 3])
+        return h.view(h.shape[0], -1)
+
+
+class TorchGhostNet(nn.Module):
+    """SlowFastGhostNet (reference custom_video_model_builder.py:792-1026;
+    stage cfgs :814-844, CMDA fuse after s1..s4)."""
+
+    CFGS = [
+        [[3, 16, 16, 0, 1]],
+        [[3, 48, 24, 0, 2], [3, 72, 24, 0, 1]],
+        [[5, 72, 40, 0.25, 2], [5, 120, 40, 0.25, 1]],
+        [[3, 240, 80, 0, 2], [3, 200, 80, 0, 1], [3, 184, 80, 0, 1],
+         [3, 184, 80, 0, 1], [3, 480, 112, 0.25, 1], [3, 672, 112, 0.25, 1]],
+        [[5, 672, 160, 0.25, 2], [5, 960, 160, 0, 1], [5, 960, 160, 0.25, 1],
+         [5, 960, 160, 0, 1], [5, 960, 160, 0.25, 1]],
+    ]
+
+    def __init__(self, num_classes=6, width_mult=1.0, alpha=4, beta_inv=8):
+        super().__init__()
+        wm, beta = width_mult, beta_inv
+        md = _make_divisible
+        slow_cfgs = [[[k, md(t * wm, 4), md(c * wm, 4), se, s]
+                      for k, t, c, se, s in rows] for rows in self.CFGS]
+        fast_cfgs = [[[k, md(t * wm // beta, 4), md(c * wm // beta, 4), se, s]
+                      for k, t, c, se, s in rows] for rows in self.CFGS]
+        stem = [md(16 * wm, 4), md(16 * wm // beta, 4)]
+        self.s0 = SNV2StemNoPool(stem)
+        ch = stem
+        for i in range(5):
+            self.add_module(f"s{i + 1}",
+                            GhostStage(ch, slow_cfgs[i], fast_cfgs[i]))
+            ch = [slow_cfgs[i][-1][2], fast_cfgs[i][-1][2]]
+            if i < 4:
+                self.add_module(f"s{i + 1}_fuse",
+                                FuseFastAndSlow(ch[0], ch[1], alpha, beta))
+                ch = [ch[0] + ch[1], ch[1] + ch[0] // beta]
+        outs = [int(1280 * wm), int(1280 * wm // beta)]
+        self.head = GhostHead(ch, [slow_cfgs[4][-1][1], fast_cfgs[4][-1][1]],
+                              outs, num_classes)
+
+    def forward(self, x):
+        x = self.s0([t for t in x])
+        for i in range(5):
+            x = getattr(self, f"s{i + 1}")(x)
+            if i < 4:
+                x = getattr(self, f"s{i + 1}_fuse")(x)
+        return self.head(x)
+
+
+class SNV2StemNoPool(nn.Module):
+    """conv3/s(1,2,2)+BN+ReLU, no pool (reference stem_helper.py:309-336)."""
+
+    def __init__(self, dims_out):
+        super().__init__()
+        for p, co in enumerate(dims_out):
+            self.add_module(f"pathway{p}_stem", nn.Sequential(
+                nn.Conv3d(3, co, 3, (1, 2, 2), (1, 1, 1), bias=False),
+                nn.BatchNorm3d(co), nn.ReLU()))
+        self.n = len(dims_out)
+
+    def forward(self, x):
+        return [getattr(self, f"pathway{p}_stem")(x[p]) for p in range(self.n)]
+
+
+# ---------------------------------------------------------------------------
+# Single-pathway ResNet ("slow" arch)
+# ---------------------------------------------------------------------------
+
+class TorchSlowR18(nn.Module):
+    """Single-pathway Slow R18 (reference video_model_builder.py:419-611;
+    slow basis: tk [[1],[1],[1],[3],[3]], pool1 [1,1,1])."""
+
+    def __init__(self, num_classes=6, width=8, num_frames=4, crop=32,
+                 depths=(2, 2, 2, 2)):
+        super().__init__()
+        w = width
+        tk = [1, 1, 1, 3, 3]
+        self.s1 = PathwayStems([3], [w], [tk[0]])
+        self.s2 = ResStage([w], [w * 4], [tk[1]], [1], [depths[0]])
+        self.s3 = ResStage([w * 4], [w * 8], [tk[2]], [2], [depths[1]])
+        self.s4 = ResStage([w * 8], [w * 16], [tk[3]], [2], [depths[2]])
+        self.s5 = ResStage([w * 16], [w * 32], [tk[4]], [2], [depths[3]])
+        s_out = crop // 32
+        self.head = BasicHead([w * 32], num_classes,
+                              [[num_frames, s_out, s_out]])
+
+    def forward(self, x):
+        x = self.s1([t for t in x])
+        x = self.s2(x)
+        x = self.s3(x)
+        x = self.s4(x)
+        x = self.s5(x)
+        return self.head(x)
