@@ -324,6 +324,10 @@ _C.TPU.FLASH_MAX_KEYS = 25088
 # XLA's conv pipeline on v5e at R50 eval shapes — see PERF.md §2. Opt-in
 # for Mosaic experimentation; default stays on the XLA path.
 _C.TPU.FUSED_EVAL = False
+# Checkpoint store: "msgpack" (single-file, master-only) or "orbax"
+# (async sharded directories; every host participates — the production
+# path for multi-host/large-model jobs).
+_C.TPU.CHECKPOINT_BACKEND = "msgpack"
 
 
 def get_cfg() -> CfgNode:

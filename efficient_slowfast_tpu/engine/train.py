@@ -228,6 +228,7 @@ def train(cfg: CfgNode):
                                    global_step=cur_epoch)
     if writer is not None:
         writer.close()
+    cu.wait_for_saves()  # drain any in-flight async (orbax) checkpoint
     return state
 
 
@@ -295,6 +296,7 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
                 val_meter.log_iter_stats(cur_epoch, cur_iter)
             val_meter.log_epoch_stats(cur_epoch)
             val_meter.reset()
+    cu.wait_for_saves()  # drain any in-flight async (orbax) checkpoint
     return state
 
 

@@ -1,10 +1,20 @@
 """Checkpointing (reference: slowfast/utils/checkpoint.py).
 
-Native format: msgpack (flax.serialization) files
-``OUTPUT_DIR/checkpoints/checkpoint_epoch_{epoch:05d}.jaxckpt`` holding
-{epoch, params, batch_stats, opt_state}; master-process-only save, newest-file
-resume (reference :57-70, :107-136, :430-455). PyTorch ``.pyth``/Caffe2
-import lives in utils/torch_ckpt.py.
+Two native backends, selected by ``cfg.TPU.CHECKPOINT_BACKEND``:
+
+- ``msgpack`` (default): single flax.serialization file
+  ``OUTPUT_DIR/checkpoints/checkpoint_epoch_{epoch:05d}.jaxckpt`` holding
+  {epoch, params, batch_stats, opt_state}; master-process-only save,
+  newest-file resume (reference :57-70, :107-136, :430-455).
+- ``orbax``: async sharded directories
+  ``checkpoint_epoch_{epoch:05d}.orbax`` written through
+  ``orbax.checkpoint.AsyncCheckpointer`` — every host participates (each
+  writes its own array shards), the save overlaps the next training epoch,
+  and restore is zero-copy into the existing state sharding. This is the
+  TPU-native production path for multi-host/large-model jobs.
+
+Load auto-detects the format from the path, so mixed histories resume
+fine. PyTorch ``.pyth``/Caffe2 import lives in utils/torch_ckpt.py.
 """
 
 from __future__ import annotations
@@ -20,7 +30,28 @@ from .logging import get_logger
 
 logger = get_logger(__name__)
 
-_CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.jaxckpt$")
+_CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.(jaxckpt|orbax)$")
+
+_async_checkpointer = None
+
+
+def _orbax():
+    """Process-wide AsyncCheckpointer (lazy; orbax import is heavy)."""
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _async_checkpointer
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async (orbax) save completes. Call before
+    process exit and before reading a just-written checkpoint."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
 
 
 def make_checkpoint_dir(path_to_job: str) -> str:
@@ -34,9 +65,12 @@ def get_checkpoint_dir(path_to_job: str) -> str:
     return os.path.join(path_to_job, "checkpoints")
 
 
-def get_path_to_checkpoint(path_to_job: str, epoch: int) -> str:
+def get_path_to_checkpoint(path_to_job: str, epoch: int,
+                           backend: str = "msgpack") -> str:
+    suffix = "orbax" if backend == "orbax" else "jaxckpt"
     return os.path.join(
-        get_checkpoint_dir(path_to_job), f"checkpoint_epoch_{epoch:05d}.jaxckpt"
+        get_checkpoint_dir(path_to_job),
+        f"checkpoint_epoch_{epoch:05d}.{suffix}"
     )
 
 
@@ -67,7 +101,16 @@ def is_checkpoint_epoch(cfg, cur_epoch: int, multigrid_schedule=None) -> bool:
 
 
 def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> Optional[str]:
-    """Master-only save of the full train state (reference: :107-136)."""
+    """Save the full train state (reference: :107-136).
+
+    msgpack backend: master-only single file. orbax backend: collective
+    async save — EVERY process must call this (each host contributes its
+    array shards); returns the path on all hosts.
+    """
+    backend = getattr(getattr(cfg, "TPU", None), "CHECKPOINT_BACKEND",
+                      "msgpack")
+    if backend == "orbax":
+        return _save_orbax(path_to_job, state, epoch, cfg)
     if jax.process_index() != 0:
         return None
     make_checkpoint_dir(path_to_job)
@@ -89,8 +132,57 @@ def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> Optional[str]:
     return path
 
 
+def _save_orbax(path_to_job: str, state, epoch: int, cfg) -> str:
+    make_checkpoint_dir(path_to_job)
+    path = get_path_to_checkpoint(path_to_job, epoch + 1, backend="orbax")
+    ckptr = _orbax()
+    ckptr.wait_until_finished()  # at most one save in flight
+    payload = {
+        "epoch": epoch,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": flax.serialization.to_state_dict(state.opt_state),
+    }
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    if jax.process_index() == 0 and hasattr(cfg, "dump"):
+        with open(os.path.join(get_checkpoint_dir(path_to_job),
+                               f"cfg_epoch_{epoch + 1:05d}.yaml"), "w") as f:
+            f.write(cfg.dump())
+    logger.info("Async-saving orbax checkpoint to %s", path)
+    return path
+
+
+def _load_orbax(path: str, state, load_opt: bool) -> Tuple[Any, int]:
+    import orbax.checkpoint as ocp
+
+    wait_for_saves()
+    target = {
+        "epoch": 0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": flax.serialization.to_state_dict(state.opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path), target)
+    new = state.replace(params=payload["params"],
+                        batch_stats=payload["batch_stats"])
+    if load_opt:
+        try:
+            opt_state = flax.serialization.from_state_dict(
+                state.opt_state, payload["opt_state"])
+            new = new.replace(opt_state=opt_state)
+        except Exception as e:  # optimizer change between runs is legal
+            logger.warning("Could not restore optimizer state: %s", e)
+    epoch = int(payload.get("epoch", -1))
+    logger.info("Loaded orbax checkpoint %s (epoch %d)", path, epoch)
+    return new, epoch
+
+
 def load_checkpoint(path: str, state, load_opt: bool = True) -> Tuple[Any, int]:
-    """Restore a TrainState from ``path``; returns (state, epoch)."""
+    """Restore a TrainState from ``path`` (format auto-detected);
+    returns (state, epoch)."""
+    if path.endswith(".orbax") or os.path.isdir(path):
+        return _load_orbax(path, state, load_opt)
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     params = flax.serialization.from_state_dict(state.params, payload["params"])

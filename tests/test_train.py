@@ -142,3 +142,53 @@ def test_sgd_matches_torch_momentum(rng):
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]), ref,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """TPU.CHECKPOINT_BACKEND=orbax: async sharded save + auto-resume
+    restore produce the identical train state (the production multi-host
+    checkpoint path)."""
+    import jax
+    import numpy as np
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.engine.state import create_train_state
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.utils import checkpoint as cu
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+
+    path = cu.save_checkpoint(str(tmp_path), state, epoch=3, cfg=cfg)
+    assert path.endswith(".orbax")
+    cu.wait_for_saves()
+    assert cu.get_last_checkpoint(str(tmp_path)) == path
+    # cfg sidecar written by the master process
+    assert (tmp_path / "checkpoints" / "cfg_epoch_00004.yaml").exists()
+
+    fresh, _ = create_train_state(cfg, model, jax.random.PRNGKey(7))
+    restored, epoch = cu.load_checkpoint(path, fresh)
+    assert epoch == 3
+    lhs = jax.tree_util.tree_leaves(state.params)
+    rhs = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(lhs, rhs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sl = jax.tree_util.tree_leaves(state.batch_stats)
+    rl = jax.tree_util.tree_leaves(restored.batch_stats)
+    for a, b in zip(sl, rl):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # auto-resume path picks the orbax dir
+    cfg.TRAIN.AUTO_RESUME = True
+    resumed, start_epoch = cu.load_train_checkpoint(cfg, fresh)
+    assert start_epoch == 4
