@@ -310,6 +310,10 @@ _C.TPU.REMAT = False
 # Decompose low-channel full-3D stem convs into per-temporal-tap 2D convs
 # (faster in isolation, loses end-to-end by breaking XLA fusion; opt-in).
 _C.TPU.TAP_DECOMPOSE = False
+# Rewrite stride-2 7x7 tiny-C_in stems via space-to-depth with the 4x4
+# output-pixel block packed into conv output channels (1.5x the fast stem
+# on v5e; exact rewrite, checkpoint-compatible).
+_C.TPU.STEM_D2S = False
 # Use the Pallas flash-attention kernel on TPU for large token counts.
 _C.TPU.FLASH_ATTENTION = True
 # Token count above which attention uses the streaming (flash/chunked) path

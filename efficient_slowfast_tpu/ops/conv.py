@@ -89,6 +89,94 @@ class _TapDecomposedConv(nn.Module):
         return out
 
 
+def _stem_d2s_index(kt: int, cin: int, co: int):
+    """Static index map rewriting a (kt,7,7,cin,co) stride-2 stem kernel as
+    a (kt,4,4,16*cin,16*co) kernel over space-to-depth(4) inputs with the
+    4x4 output-pixel block packed into channels (depth-to-space(4) after).
+
+    Derivation: out[4P+r,4Q+q] = Σ_{u,v} W[u,v]·X[8P+2r+u-3, 8Q+2q+v-3];
+    with X4[S,(a,·)] = X[4S+a] and conv stride 2 taps k∈{0..3} (asymmetric
+    pad (1,2): block offsets k-1 ∈ [-1,2] — the r=3 outputs reach into the
+    second block to the right), u = 4(k-1)+a-2r+3 — each (k,a,r) hits at
+    most one valid u. Taps falling outside [0,7) get a zero weight, which
+    also reproduces the original pad-3 zero extension exactly.
+    """
+    import numpy as np
+
+    flat_size = kt * 7 * 7 * cin * co
+    idx = np.full((kt, 4, 4, 16 * cin, 16 * co), flat_size, np.int32)  # →0
+    for k in range(4):
+        for L in range(4):
+            for a in range(4):
+                for b_ in range(4):
+                    for r in range(4):
+                        for q in range(4):
+                            u = 4 * (k - 1) + a - 2 * r + 3
+                            v = 4 * (L - 1) + b_ - 2 * q + 3
+                            if not (0 <= u < 7 and 0 <= v < 7):
+                                continue
+                            for dt in range(kt):
+                                for ci in range(cin):
+                                    src = (((dt * 7 + u) * 7 + v) * cin
+                                           + ci) * co
+                                    cin_new = (a * 4 + b_) * cin + ci
+                                    co_new0 = (r * 4 + q) * co
+                                    idx[dt, k, L, cin_new,
+                                        co_new0:co_new0 + co] = (
+                                        src + np.arange(co))
+    return jnp.asarray(idx)
+
+
+class _S2DStemConv(nn.Module):
+    """Stride-2 7x7 stem conv via space-to-depth(4) + depth-to-space(4).
+
+    Packs the 4x4 output-pixel block into the conv's output channels
+    (16*C_out), turning the MXU-hostile tiny-C_out stem (N=8 → 6% lane
+    use) into an N=16*C_out matmul — measured 1.5x faster than the direct
+    3-D conv for the fast-pathway stem on v5e. Exact rewrite; parameter
+    names/shapes identical to flax nn.Conv so checkpoints interchange.
+    Requires stride (1,2,2), spatial kernel 7, padding (kt//2,3,3), and
+    H, W divisible by 8.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    use_bias: bool
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt = self.kernel_size[0]
+        cin = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", msra_init_normal, (kt, 7, 7, cin, co), jnp.float32,
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (co,),
+                           jnp.float32) if self.use_bias else None)
+        dt_ = self.dtype or x.dtype
+        idx = _stem_d2s_index(kt, cin, co)
+        wflat = jnp.concatenate(
+            [kernel.reshape(-1), jnp.zeros((1,), kernel.dtype)])
+        wd = wflat[idx].astype(dt_)
+
+        b, t, h, w, _ = x.shape
+        y = x.astype(dt_).reshape(b, t, h // 4, 4, w // 4, 4, cin)
+        y = y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t, h // 4, w // 4, 16 * cin)
+        y = jax.lax.conv_general_dilated(
+            y, wd, (1, 2, 2), [(kt // 2, kt // 2), (1, 2), (1, 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=conv_precision(self.dtype),
+        )
+        y = y.reshape(b, t, h // 8, w // 8, 4, 4, co)
+        y = y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t, h // 2, w // 2, co)
+        if bias is not None:
+            y = y + bias.astype(dt_)
+        return y
+
+
 class Conv3d(nn.Module):
     """Conv over (T, H, W) with torch-style symmetric integer padding.
 
@@ -119,6 +207,18 @@ class Conv3d(nn.Module):
         # experimentation.
         from .options import options
 
+        if (
+            options.stem_d2s
+            and k[1] == k[2] == 7 and s == (1, 2, 2)
+            and p == (k[0] // 2, 3, 3)
+            and self.groups == 1 and d == (1, 1, 1)
+            and x.shape[-1] <= 8  # tiny-C_in stems (the MXU-hostile case)
+            and x.shape[2] % 8 == 0 and x.shape[3] % 8 == 0
+        ):
+            return _S2DStemConv(
+                features=self.features, kernel_size=k,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv",
+            )(x)
         if (
             options.tap_decompose
             and k[0] > 1 and (k[1] > 1 or k[2] > 1)

@@ -17,6 +17,9 @@ class KernelOptions:
     # Decompose low-channel full-3D stem convs into per-temporal-tap 2D convs.
     # Faster in isolation, slower end-to-end (breaks XLA fusion) — opt-in.
     tap_decompose: bool = False
+    # Rewrite stride-2 7x7 tiny-C_in stems as s2d(4) conv with the 4x4
+    # output block packed into channels (ops/conv.py::_S2DStemConv).
+    stem_d2s: bool = False
     # Use the Pallas flash-attention kernel on TPU for large token counts.
     flash_attention: bool = True
     # Token count above which attention switches from the materialized
@@ -34,6 +37,7 @@ options = KernelOptions()
 def configure(cfg) -> KernelOptions:
     """Set process-wide kernel options from ``cfg.TPU``; returns them."""
     options.tap_decompose = bool(cfg.TPU.TAP_DECOMPOSE)
+    options.stem_d2s = bool(cfg.TPU.STEM_D2S)
     options.flash_attention = bool(cfg.TPU.FLASH_ATTENTION)
     options.flash_min_tokens = int(cfg.TPU.FLASH_MIN_TOKENS)
     options.flash_max_keys = int(cfg.TPU.FLASH_MAX_KEYS)

@@ -214,3 +214,32 @@ def test_inflate_2d_to_3d():
     w3 = ti.inflate_2d_to_3d(w2, 5)
     assert w3.shape == (8, 3, 5, 7, 7)
     np.testing.assert_allclose(w3.sum(axis=2), w2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("kt,cin,cout", [(5, 3, 8), (1, 3, 64), (5, 1, 8)])
+def test_s2d_stem_conv_matches_torch(monkeypatch, kt, cin, cout):
+    """cfg.TPU.STEM_D2S rewrite (s2d(4) + output-block channel packing) is
+    numerically identical to the dense stride-2 7x7 stem conv."""
+    from efficient_slowfast_tpu.ops.options import options
+
+    torch.manual_seed(0)
+    tconv = tnn.Conv3d(cin, cout, (kt, 7, 7), (1, 2, 2), (kt // 2, 3, 3),
+                       bias=True)
+    x = torch.randn(2, cin, 4, 32, 32)
+    with torch.no_grad():
+        ref = tconv(x).numpy()
+
+    monkeypatch.setattr(options, "stem_d2s", True)
+    m = Conv3d(cout, (kt, 7, 7), (1, 2, 2), (kt // 2, 3, 3), use_bias=True)
+    xj = to_cl(x.numpy())
+    params = m.init(jax.random.PRNGKey(0), xj)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    # the rewrite must have created the STANDARD kernel param (checkpoint
+    # layout unchanged)
+    assert params["params"]["conv"]["kernel"].shape == (kt, 7, 7, cin, cout)
+    params["params"]["conv"]["kernel"] = jnp.asarray(
+        ti.conv3d_weight(tconv.weight.detach().numpy())
+    )
+    params["params"]["conv"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    out = from_cl(m.apply(params, xj))
+    np.testing.assert_allclose(out, ref, **TOL)
