@@ -345,6 +345,7 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         assert cfg.BN.NUM_SPLITS >= 1
     assert cfg.TRAIN.CHECKPOINT_TYPE in ("pytorch", "caffe2", "jax")
     assert cfg.TEST.CHECKPOINT_TYPE in ("pytorch", "caffe2", "jax")
+    assert cfg.TPU.CHECKPOINT_BACKEND in ("msgpack", "orbax")
     assert cfg.NUM_GPUS >= 1
     assert cfg.TRAIN.BATCH_SIZE % cfg.NUM_GPUS == 0
     assert cfg.TEST.BATCH_SIZE % cfg.NUM_GPUS == 0

@@ -89,6 +89,10 @@ class _TapDecomposedConv(nn.Module):
         return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _stem_d2s_index(kt: int, cin: int, co: int):
     """Static index map rewriting a (kt,7,7,cin,co) stride-2 stem kernel as
     a (kt,4,4,16*cin,16*co) kernel over space-to-depth(4) inputs with the
@@ -210,6 +214,7 @@ class Conv3d(nn.Module):
         if (
             options.stem_d2s
             and k[1] == k[2] == 7 and s == (1, 2, 2)
+            and k[0] % 2 == 1  # the output reshape assumes t_out == t
             and p == (k[0] // 2, 3, 3)
             and self.groups == 1 and d == (1, 1, 1)
             and x.shape[-1] <= 8  # tiny-C_in stems (the MXU-hostile case)

@@ -163,7 +163,19 @@ def _load_orbax(path: str, state, load_opt: bool) -> Tuple[Any, int]:
         "opt_state": flax.serialization.to_state_dict(state.opt_state),
     }
     with ocp.StandardCheckpointer() as ckptr:
-        payload = ckptr.restore(os.path.abspath(path), target)
+        try:
+            # fast path: zero-copy restore straight into the state's
+            # dtypes/shardings (requires matching trees)
+            payload = ckptr.restore(os.path.abspath(path), target)
+        except Exception:
+            # optimizer/solver changed between runs (legal, like the
+            # msgpack path): raw-restore and merge tolerantly
+            payload = ckptr.restore(os.path.abspath(path))
+            payload = dict(payload)
+            payload["params"] = flax.serialization.from_state_dict(
+                state.params, payload["params"])
+            payload["batch_stats"] = flax.serialization.from_state_dict(
+                state.batch_stats, payload["batch_stats"])
     new = state.replace(params=payload["params"],
                         batch_stats=payload["batch_stats"])
     if load_opt:
@@ -234,7 +246,10 @@ def load_test_checkpoint(cfg, state):
 
 
 def _load_external(cfg, path, ckpt_type, state, inflate=False):
-    if ckpt_type == "jax" or path.endswith(".jaxckpt"):
+    if (ckpt_type == "jax" or path.endswith(".jaxckpt")
+            or path.endswith(".orbax") or os.path.isdir(path)):
+        # native formats auto-detect (module docstring contract) — a
+        # directory is never a torch/caffe2 pickle
         state, _ = load_checkpoint(path, state, load_opt=False)
         return state
     from .torch_ckpt import load_torch_checkpoint

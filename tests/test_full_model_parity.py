@@ -67,12 +67,17 @@ def _randomize(module, seed=0, std=0.1):
     return module
 
 
+def _pathway_shapes(cfg):
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
+        return [(2, t, s, s, 3)]
+    return [(2, t // cfg.SLOWFAST.ALPHA, s, s, 3), (2, t, s, s, 3)]
+
+
 def _import_weights(cfg, tmodel, tmp_path):
     """torch model → .pyth file → our param tree."""
     model = build_model(cfg)
-    a = cfg.SLOWFAST.ALPHA
-    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
-    x = [jnp.zeros((2, t // a, s, s, 3)), jnp.zeros((2, t, s, s, 3))]
+    x = [jnp.zeros(sh) for sh in _pathway_shapes(cfg)]
     k = jax.random.PRNGKey(0)
     v = jax.jit(functools.partial(model.init, train=False))(
         {"params": k, "dropout": k}, x)
@@ -84,21 +89,19 @@ def _import_weights(cfg, tmodel, tmp_path):
 
 
 def _compare(cfg, tmodel, tmp_path, seed=0, train_tol=None,
-             eval_probs=True):
-    tmodel = _randomize(tmodel, seed)
+             eval_probs=True, std=0.1):
+    tmodel = _randomize(tmodel, seed, std=std)
     model, variables = _import_weights(cfg, tmodel, tmp_path)
 
-    a = cfg.SLOWFAST.ALPHA
-    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
     rs = np.random.RandomState(seed + 1)
-    slow = rs.randn(2, 3, t // a, s, s).astype(np.float32)
-    fast = rs.randn(2, 3, t, s, s).astype(np.float32)
+    raw = [rs.randn(sh[0], 3, sh[1], sh[2], sh[3]).astype(np.float32)
+           for sh in _pathway_shapes(cfg)]
 
     def to_cl(x):  # NCTHW → NTHWC
         return jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
 
-    xj = [to_cl(slow), to_cl(fast)]
-    xt = [torch.from_numpy(slow), torch.from_numpy(fast)]
+    xj = [to_cl(p) for p in raw]
+    xt = [torch.from_numpy(p) for p in raw]
 
     # eval mode: running stats + softmax-then-mean head
     tmodel.eval()
@@ -185,6 +188,40 @@ def test_shufflenet_full_model_parity(tmp_path):
                              alpha=4, beta_inv=8)
     _compare(cfg, tmodel, tmp_path,
              train_tol=dict(rtol=1e-3, atol=2e-3))
+
+
+def test_ghostnet_full_model_parity(tmp_path):
+    from tests.torch_golden import TorchGhostNet
+
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastGhostNet"
+    cfg.SLOWFAST.WIDTH_MULTI = 1.0
+    tmodel = TorchGhostNet(num_classes=6, width_mult=1.0, alpha=4, beta_inv=8)
+    # eval head is ReLU-then-mean (faithful reference quirk), not a
+    # probability distribution
+    _compare(cfg, tmodel, tmp_path, train_tol=dict(rtol=1e-3, atol=2e-3),
+             eval_probs=False)
+
+
+def test_slow_resnet_full_model_parity(tmp_path):
+    """Single-pathway ResNet family (arch=slow), eval + train modes."""
+    from tests.torch_golden import TorchSlowR18
+
+    cfg = _resnet_cfg(_base_cfg())
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.DATA.NUM_FRAMES = 4  # head pool window derives from this
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[]]] * 4
+    cfg.NONLOCAL.GROUP = [[1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2]]] * 4
+    # std 0.05: at 0.1 the 256-channel tail stages overflow f32 through
+    # the un-normalized final BN products
+    tmodel = TorchSlowR18(num_classes=6, width=8, num_frames=4, crop=32)
+    _compare(cfg, tmodel, tmp_path, std=0.05)
 
 
 def test_ghostnet_full_model_parity(tmp_path):

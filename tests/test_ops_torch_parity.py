@@ -243,3 +243,23 @@ def test_s2d_stem_conv_matches_torch(monkeypatch, kt, cin, cout):
     params["params"]["conv"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
     out = from_cl(m.apply(params, xj))
     np.testing.assert_allclose(out, ref, **TOL)
+
+
+def test_s2d_stem_gate_skips_even_temporal_kernel(monkeypatch):
+    """Even-kt stems (t_out != t) must fall back to the standard conv."""
+    from efficient_slowfast_tpu.ops.options import options
+
+    monkeypatch.setattr(options, "stem_d2s", True)
+    torch.manual_seed(0)
+    tconv = tnn.Conv3d(3, 8, (2, 7, 7), (1, 2, 2), (1, 3, 3), bias=False)
+    x = torch.randn(1, 3, 4, 16, 16)
+    with torch.no_grad():
+        ref = tconv(x).numpy()
+    m = Conv3d(8, (2, 7, 7), (1, 2, 2), (1, 3, 3), use_bias=False)
+    xj = to_cl(x.numpy())
+    params = m.init(jax.random.PRNGKey(0), xj)
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params["params"]["conv"]["kernel"] = jnp.asarray(
+        ti.conv3d_weight(tconv.weight.detach().numpy()))
+    out = from_cl(m.apply(params, xj))
+    np.testing.assert_allclose(out, ref, **TOL)

@@ -192,3 +192,39 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     cfg.TRAIN.AUTO_RESUME = True
     resumed, start_epoch = cu.load_train_checkpoint(cfg, fresh)
     assert start_epoch == 4
+
+
+def test_orbax_restore_tolerates_optimizer_change(tmp_path):
+    """Resuming an orbax checkpoint with a different solver must keep the
+    model weights and warn on opt_state (msgpack-path parity)."""
+    import jax
+    import numpy as np
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.engine.state import create_train_state
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.utils import checkpoint as cu
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    path = cu.save_checkpoint(str(tmp_path), state, epoch=1, cfg=cfg)
+    cu.wait_for_saves()
+
+    cfg.SOLVER.OPTIMIZING_METHOD = "adam"  # different opt_state tree
+    other, _ = create_train_state(cfg, model, jax.random.PRNGKey(9))
+    restored, epoch = cu.load_checkpoint(path, other)
+    assert epoch == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
