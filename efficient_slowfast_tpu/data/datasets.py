@@ -148,10 +148,22 @@ class ClipDataset:
         self._decoder = None
 
     # -- path list -------------------------------------------------------
+    #: fork-style fallback list names; test aliases to val
+    #: (reference: kinetics.py:80-87 hardcodes these)
+    FORK_LIST_FILES: dict = {}
+
     def _list_file(self) -> str:
-        return os.path.join(
+        primary = os.path.join(
             self.cfg.DATA.PATH_TO_DATA_DIR, self.LIST_FILES[self.mode]
         )
+        if not os.path.exists(primary) and self.FORK_LIST_FILES:
+            alt = os.path.join(
+                self.cfg.DATA.PATH_TO_DATA_DIR,
+                self.FORK_LIST_FILES[self.mode],
+            )
+            if os.path.exists(alt):
+                return alt
+        return primary
 
     def _construct_loader(self):
         path_file = self._list_file()
@@ -304,6 +316,13 @@ class ClipDataset:
 @DATASET_REGISTRY.register()
 class Kinetics(ClipDataset):
     LIST_FILES = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}
+    # the wdf fork hardcodes these names with test->val aliasing
+    # (reference: kinetics.py:80-87)
+    FORK_LIST_FILES = {
+        "train": "kinetics_p3d_train_byvideo_128.lst",
+        "val": "kinetics_p3d_val_byvideo_128.lst",
+        "test": "kinetics_p3d_val_byvideo_128.lst",
+    }
 
 
 @DATASET_REGISTRY.register()
