@@ -291,6 +291,10 @@ _C.DEMO.DISPLAY_HEIGHT = 0
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_CFG = ""
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_WEIGHTS = ""
 _C.DEMO.OUTPUT_FILE = ""
+# Detection demo: json file of precomputed person boxes per sliding window
+# ({"<window_idx>": [[x1,y1,x2,y2], ...]} normalized to [0,1]); replaces
+# the reference's live detectron2 person detector (external model).
+_C.DEMO.BOXES_FILE = ""
 
 # ---------------------------------------------------------------------------
 # TPU-specific options (new in this framework)

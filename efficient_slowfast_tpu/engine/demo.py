@@ -6,9 +6,15 @@ frames, packs pathways inline and overlays the top-k labels. This build uses
 the native decoder to stream consecutive windows from DEMO.DATA_SOURCE,
 runs the jitted forward per window, logs {sec, top-k labels, scores} json
 lines, and (optionally) writes an annotated mp4 via the native encoder when
-DEMO.OUTPUT_FILE is set. Detection mode consumes precomputed person boxes
-(the reference's detectron2 person detector is an external model; SURVEY
-§2.8 flags it out of scope — any detector's boxes can be supplied).
+DEMO.OUTPUT_FILE is set.
+
+Detection mode (cfg.DETECTION.ENABLE): person boxes come from a
+DEMO.BOXES_FILE json — ``{"<window_idx>": [[x1,y1,x2,y2], ...]}`` in
+normalized [0,1] coordinates — the demo scales them to the canvas, runs
+the RoI head per window, logs per-box top-k actions, and draws box +
+label overlays. (The reference's live detectron2 person detector is an
+external model; SURVEY §2.8 flags it out of scope — any detector's boxes
+can be supplied through the file.)
 """
 
 from __future__ import annotations
@@ -40,13 +46,16 @@ def demo(cfg):
     state, _ = create_train_state(cfg, model, rng)
     state = cu.load_test_checkpoint(cfg, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd = make_forward(cfg, model)
-    preprocess = make_test_preprocess(cfg)
 
     labels = None
     if cfg.DEMO.LABEL_FILE_PATH:
         with open(cfg.DEMO.LABEL_FILE_PATH) as f:
             labels = [line.strip() for line in f if line.strip()]
+
+    if cfg.DETECTION.ENABLE:
+        return _demo_detection(cfg, model, variables, mesh, labels)
+    fwd = make_forward(cfg, model)
+    preprocess = make_test_preprocess(cfg)
 
     info = decoder.probe(cfg.DEMO.DATA_SOURCE)
     assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
@@ -115,6 +124,110 @@ def demo(cfg):
         decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
         logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
     return results
+
+
+def _demo_detection(cfg, model, variables, mesh, labels):
+    """Sliding-window action detection with precomputed person boxes
+    (reference: tools/demo_net.py detection branch, detectron2 replaced by
+    a DEMO.BOXES_FILE json of normalized [x1,y1,x2,y2] boxes per window)."""
+    import json as _json
+
+    from ..data.ava_dataset import MAX_BOXES
+    from ..data.datasets import fit_canvas
+    from ..data.preprocess import make_detection_preprocess
+    from .state import make_detection_forward
+
+    assert cfg.DEMO.BOXES_FILE, (
+        "detection demo needs DEMO.BOXES_FILE (json: window idx -> "
+        "normalized [x1,y1,x2,y2] person boxes)"
+    )
+    with open(cfg.DEMO.BOXES_FILE) as f:
+        boxes_by_window = {int(k): np.asarray(v, np.float32)
+                           for k, v in _json.load(f).items()}
+
+    preprocess = make_detection_preprocess(cfg)
+    fwd = make_detection_forward(cfg, model)
+
+    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
+    fps = info["fps"] or 30.0
+    clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                  / cfg.DATA.TARGET_FPS)
+    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
+    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
+
+    short = cfg.DATA.TEST_CROP_SIZE
+    rep = replicated(mesh)
+    results = []
+    annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    t_prev = time.time()
+    for widx in range(num_windows):
+        frames = decoder.decode_clip(
+            cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
+            clip_idx=widx, num_clips=num_windows,
+            target_fps=cfg.DATA.TARGET_FPS, short_side=short,
+            random_clip=False,
+        )
+        nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
+        if frames is None or len(nboxes) == 0:
+            continue
+        canvas, width = fit_canvas(frames, short)
+        # normalized -> canvas-pixel boxes (x over the true content width)
+        px = np.zeros((MAX_BOXES, 4), np.float32)
+        n = min(len(nboxes), MAX_BOXES)
+        px[:n, 0] = nboxes[:n, 0] * width
+        px[:n, 1] = nboxes[:n, 1] * short
+        px[:n, 2] = nboxes[:n, 2] * width
+        px[:n, 3] = nboxes[:n, 3] * short
+        inputs = preprocess(jax.device_put(canvas[None], rep))
+        rois = jax.device_put(px[None], rep)
+        scores = np.asarray(jax.device_get(fwd(variables, inputs, rois)))[:n]
+        t_now = time.time()
+        win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)
+        t_prev = t_now
+        box_entries = []
+        for bi in range(n):
+            topk = np.argsort(-scores[bi])[: cfg.TENSORBOARD.HISTOGRAM.TOPK or 3]
+            box_entries.append({
+                "box": [round(float(v), 1) for v in px[bi]],
+                "top_classes": [labels[i] if labels else int(i) for i in topk],
+                "scores": [round(float(scores[bi][i]), 4) for i in topk],
+            })
+        entry = {
+            "_type": "demo_window",
+            "window": widx,
+            "sec": round(widx * clip_len_s, 2),
+            "boxes": box_entries,
+            "fps": round(win_fps, 1),
+        }
+        log_json_stats(entry)
+        results.append(entry)
+        if annotated is not None:
+            annotated.append(_annotate_boxes(frames, entry))
+    if annotated:
+        out = np.concatenate(annotated, axis=0)
+        decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
+        logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
+    return results
+
+
+def _annotate_boxes(frames: np.ndarray, entry) -> np.ndarray:
+    """Draw each person box + its top-1 action label
+    (reference demo overlays detector boxes + action labels)."""
+    from PIL import Image, ImageDraw
+
+    out = np.empty_like(frames)
+    for i in range(frames.shape[0]):
+        im = Image.fromarray(frames[i])
+        draw = ImageDraw.Draw(im)
+        for be in entry["boxes"]:
+            x1, y1, x2, y2 = be["box"]
+            draw.rectangle([x1, y1, x2, y2], outline=(0, 255, 0))
+            draw.text((x1 + 2, max(y1 - 10, 0)),
+                      f"{be['top_classes'][0]}: {be['scores'][0]:.2f}",
+                      fill=(0, 255, 0))
+        out[i] = np.asarray(im)
+    return out
 
 
 def _annotate(frames: np.ndarray, entry) -> np.ndarray:

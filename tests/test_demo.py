@@ -53,3 +53,48 @@ def test_demo_windows_labels_fps(tmp_path):
                                target_fps=24, short_side=96,
                                random_clip=False)
     assert clip is not None
+
+
+def test_demo_detection_boxes(tmp_path):
+    """Detection demo: precomputed boxes json -> per-box action labels +
+    box overlays (reference demo_net.py detection branch, external
+    detector replaced by DEMO.BOXES_FILE)."""
+    import json
+
+    src = str(tmp_path / "clip.mp4")
+    rs = np.random.RandomState(1)
+    decoder.write_test_video(
+        src, rs.randint(0, 255, (64, 96, 128, 3), np.uint8), fps=24)
+
+    boxes = {"0": [[0.1, 0.1, 0.5, 0.9]], "1": [[0.2, 0.1, 0.6, 0.9],
+                                                [0.5, 0.2, 0.9, 0.8]]}
+    boxes_file = tmp_path / "boxes.json"
+    boxes_file.write_text(json.dumps(boxes))
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.DATA.CROP_SIZE = 64
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DEMO.DATA_SOURCE = src
+    cfg.DEMO.BOXES_FILE = str(boxes_file)
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "det.mp4")
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+
+    results = demo(cfg)
+    assert len(results) >= 1
+    for entry in results:
+        assert entry["boxes"], entry
+        for be in entry["boxes"]:
+            assert len(be["box"]) == 4
+            assert len(be["top_classes"]) == len(be["scores"]) >= 1
+            # RoI head scores are per-box sigmoid activations
+            assert all(0.0 <= s <= 1.0 for s in be["scores"])
+    assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
+    assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
