@@ -92,7 +92,6 @@ def demo(cfg):
         # single-clip window: replicate rather than data-shard (batch 1 is
         # not divisible by the mesh; the demo is a latency, not throughput,
         # path)
-        rep = replicated(mesh)
         fb = jax.device_put(canvas[None], rep)
         wb = jax.device_put(np.asarray([width], np.int32), rep)
         sidx = jax.device_put(np.asarray([1], np.int32), rep)  # center crop
@@ -130,8 +129,6 @@ def _demo_detection(cfg, model, variables, mesh, labels):
     """Sliding-window action detection with precomputed person boxes
     (reference: tools/demo_net.py detection branch, detectron2 replaced by
     a DEMO.BOXES_FILE json of normalized [x1,y1,x2,y2] boxes per window)."""
-    import json as _json
-
     from ..data.ava_dataset import MAX_BOXES
     from ..data.datasets import fit_canvas
     from ..data.preprocess import make_detection_preprocess
@@ -143,7 +140,7 @@ def _demo_detection(cfg, model, variables, mesh, labels):
     )
     with open(cfg.DEMO.BOXES_FILE) as f:
         boxes_by_window = {int(k): np.asarray(v, np.float32)
-                           for k, v in _json.load(f).items()}
+                           for k, v in json.load(f).items()}
 
     preprocess = make_detection_preprocess(cfg)
     fwd = make_detection_forward(cfg, model)
@@ -160,7 +157,18 @@ def _demo_detection(cfg, model, variables, mesh, labels):
     rep = replicated(mesh)
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
-    t_prev = time.time()
+    # warm up the compiled preprocess+forward so window 0's FPS overlay
+    # measures inference, not compilation (mirrors the classification path)
+    from ..data.datasets import canvas_width
+
+    _wc = canvas_width(short)
+    _ = fwd(variables,
+            preprocess(jax.device_put(
+                np.zeros((1, cfg.DATA.NUM_FRAMES, short, _wc, 3), np.uint8),
+                rep)),
+            jax.device_put(np.zeros((1, MAX_BOXES, 4), np.float32), rep))
+    t0 = time.time()
+    t_prev = t0
     for widx in range(num_windows):
         frames = decoder.decode_clip(
             cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
@@ -168,17 +176,35 @@ def _demo_detection(cfg, model, variables, mesh, labels):
             target_fps=cfg.DATA.TARGET_FPS, short_side=short,
             random_clip=False,
         )
-        nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
-        if frames is None or len(nboxes) == 0:
+        if frames is None:
             continue
         canvas, width = fit_canvas(frames, short)
-        # normalized -> canvas-pixel boxes (x over the true content width)
+        nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
+        if len(nboxes) == 0:
+            # keep the output video time-continuous: pass the window
+            # through un-annotated instead of silently dropping it
+            if annotated is not None:
+                annotated.append(canvas)
+            continue
+        if len(nboxes) > MAX_BOXES:
+            logger.warning(
+                "window %d: %d boxes exceed MAX_BOXES=%d; extra boxes "
+                "dropped", widx, len(nboxes), MAX_BOXES)
+        # normalized (over the RAW frame) -> canvas pixels: undo the
+        # fit_canvas resize + center crops so boxes land on the content
+        t_, fh, fw, _c = frames.shape
+        if fh <= fw:
+            nh, nw = short, max(short, int(round(fw * short / fh)))
+        else:
+            nh, nw = int(round(fh * short / fw)), short
+        yoff = max((nh - short) // 2, 0)
+        xoff = max((nw - _wc) // 2, 0)
         px = np.zeros((MAX_BOXES, 4), np.float32)
         n = min(len(nboxes), MAX_BOXES)
-        px[:n, 0] = nboxes[:n, 0] * width
-        px[:n, 1] = nboxes[:n, 1] * short
-        px[:n, 2] = nboxes[:n, 2] * width
-        px[:n, 3] = nboxes[:n, 3] * short
+        px[:n, 0] = np.clip(nboxes[:n, 0] * nw - xoff, 0, width)
+        px[:n, 1] = np.clip(nboxes[:n, 1] * nh - yoff, 0, short)
+        px[:n, 2] = np.clip(nboxes[:n, 2] * nw - xoff, 0, width)
+        px[:n, 3] = np.clip(nboxes[:n, 3] * nh - yoff, 0, short)
         inputs = preprocess(jax.device_put(canvas[None], rep))
         rois = jax.device_put(px[None], rep)
         scores = np.asarray(jax.device_get(fwd(variables, inputs, rois)))[:n]
@@ -203,11 +229,21 @@ def _demo_detection(cfg, model, variables, mesh, labels):
         log_json_stats(entry)
         results.append(entry)
         if annotated is not None:
-            annotated.append(_annotate_boxes(frames, entry))
-    if annotated:
-        out = np.concatenate(annotated, axis=0)
-        decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
-        logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
+            # draw on the canvas (the coordinate frame the boxes live in)
+            annotated.append(_annotate_boxes(canvas, entry))
+    fps_measured = (len(results) * cfg.DATA.NUM_FRAMES
+                    / max(time.time() - t0, 1e-6))
+    logger.info("Demo done: %d detection windows, %.1f frames/s",
+                len(results), fps_measured)
+    if annotated is not None:
+        if annotated:
+            out = np.concatenate(annotated, axis=0)
+            decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
+            logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
+        else:
+            logger.warning(
+                "DEMO.OUTPUT_FILE set but no window produced frames "
+                "(no boxes matched any window index?) — nothing written")
     return results
 
 

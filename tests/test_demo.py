@@ -98,3 +98,48 @@ def test_demo_detection_boxes(tmp_path):
             assert all(0.0 <= s <= 1.0 for s in be["scores"])
     assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
     assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
+
+
+def test_demo_detection_vertical_video_box_mapping(tmp_path):
+    """Vertical (9:16-ish) source: normalized boxes must map through the
+    fit_canvas resize + center-crop, and windows without boxes must still
+    appear in the output video (time continuity)."""
+    import json
+
+    src = str(tmp_path / "vert.mp4")
+    rs = np.random.RandomState(2)
+    # 160x96 vertical video, 64 frames
+    decoder.write_test_video(
+        src, rs.randint(0, 255, (64, 160, 96, 3), np.uint8), fps=24)
+
+    # boxes only for window 0; window >=1 has none
+    boxes_file = tmp_path / "boxes.json"
+    boxes_file.write_text(json.dumps({"0": [[0.2, 0.4, 0.8, 0.6]]}))
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.DATA.CROP_SIZE = 64
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DEMO.DATA_SOURCE = src
+    cfg.DEMO.BOXES_FILE = str(boxes_file)
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "det.mp4")
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+
+    results = demo(cfg)
+    assert len(results) == 1
+    (be,) = results[0]["boxes"]
+    x1, y1, x2, y2 = be["box"]
+    # vertical source: resized to width=short(64), height ~107, center-
+    # cropped to 64: y_norm 0.4/0.6 -> ~107*0.4-21=21.7, ~107*0.6-21=43.1
+    assert 0 <= x1 < x2 <= 64
+    assert 15 < y1 < 28 and 38 < y2 < 50, (y1, y2)
+    # all decoded windows present in the output video (boxless ones too)
+    info = decoder.probe(cfg.DEMO.OUTPUT_FILE)
+    assert info["nb_frames"] > cfg.DATA.NUM_FRAMES  # more than one window
