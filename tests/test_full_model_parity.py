@@ -282,3 +282,26 @@ def test_slow_resnet_full_model_parity(tmp_path):
     ours = np.asarray(model.apply(variables, xj, train=False))
     np.testing.assert_allclose(ours, ref, **TOL)
     np.testing.assert_allclose(ours.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("instantiation", ["softmax", "dot_product"])
+def test_slow_nln_full_model_parity(tmp_path, instantiation):
+    """Non-local family: composed trunk with an NLN block in s3 (checkpoint
+    name mapping conv_theta/..., phi/g pooling, insertion position)."""
+    from tests.torch_golden import TorchSlowNLN
+
+    cfg = _resnet_cfg(_base_cfg())
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[]], [[1]], [[]], [[]]]
+    cfg.NONLOCAL.GROUP = [[1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2]]] * 4
+    cfg.NONLOCAL.INSTANTIATION = instantiation
+    tmodel = TorchSlowNLN(num_classes=6, width=8, num_frames=4, crop=32,
+                          instantiation=instantiation)
+    _compare(cfg, tmodel, tmp_path, std=0.05)

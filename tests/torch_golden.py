@@ -1023,3 +1023,97 @@ class TorchSlowR18(nn.Module):
         x = self.s4(x)
         x = self.s5(x)
         return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# Non-local (I3D-NLN / SLOW-NLN family)
+# ---------------------------------------------------------------------------
+
+class TorchNonlocal(nn.Module):
+    """Reference nonlocal_helper.py:10-148: theta/phi/g 1x1x1 convs,
+    softmax(d^-0.5) or dot_product affinity, optional maxpool on phi/g,
+    conv_out + zero-init BN residual."""
+
+    def __init__(self, dim, dim_inner, pool_size=None,
+                 instantiation="softmax"):
+        super().__init__()
+        self.dim_inner = dim_inner
+        self.instantiation = instantiation
+        self.conv_theta = nn.Conv3d(dim, dim_inner, 1)
+        self.conv_phi = nn.Conv3d(dim, dim_inner, 1)
+        self.conv_g = nn.Conv3d(dim, dim_inner, 1)
+        self.conv_out = nn.Conv3d(dim_inner, dim, 1)
+        self.bn = nn.BatchNorm3d(dim)
+        if pool_size is not None and any(s > 1 for s in pool_size):
+            self.pool = nn.MaxPool3d(tuple(pool_size), tuple(pool_size))
+        else:
+            self.pool = None
+
+    def forward(self, x):
+        b, c, t, h, w = x.shape
+        identity = x
+        theta = self.conv_theta(x)
+        xp = self.pool(x) if self.pool is not None else x
+        phi = self.conv_phi(xp)
+        g = self.conv_g(xp)
+        theta = theta.view(b, self.dim_inner, -1)
+        phi = phi.view(b, self.dim_inner, -1)
+        g = g.view(b, self.dim_inner, -1)
+        aff = torch.einsum("bdq,bdk->bqk", theta, phi)
+        if self.instantiation == "softmax":
+            aff = torch.softmax(aff * self.dim_inner ** -0.5, dim=-1)
+        else:
+            aff = aff / aff.shape[-1]
+        out = torch.einsum("bqk,bdk->bdq", aff, g).view(b, self.dim_inner,
+                                                        t, h, w)
+        return identity + self.bn(self.conv_out(out))
+
+
+class ResStageNLN(ResStage):
+    """Single-pathway ResStage with non-local blocks inserted after the
+    listed block indices (reference resnet_helper.py:530-561)."""
+
+    def __init__(self, dims_in, dims_out, t_kernels, strides, num_blocks,
+                 nln_inds, pool_size, instantiation="softmax"):
+        super().__init__(dims_in, dims_out, t_kernels, strides, num_blocks)
+        self.nln_inds = nln_inds
+        for i in nln_inds:
+            self.add_module(
+                f"pathway0_nonlocal{i}",
+                TorchNonlocal(dims_out[0], dims_out[0] // 2, pool_size,
+                              instantiation))
+
+    def forward(self, x):
+        h = x[0]
+        for i in range(self.num_blocks[0]):
+            h = getattr(self, f"pathway0_res{i}")(h)
+            if i in self.nln_inds:
+                h = getattr(self, f"pathway0_nonlocal{i}")(h)
+        return [h]
+
+
+class TorchSlowNLN(nn.Module):
+    """Slow R18 with a non-local block in s3 (the NLN zoo pattern)."""
+
+    def __init__(self, num_classes=6, width=8, num_frames=4, crop=32,
+                 instantiation="softmax"):
+        super().__init__()
+        w = width
+        self.s1 = PathwayStems([3], [w], [1])
+        self.s2 = ResStage([w], [w * 4], [1], [1], [2])
+        self.s3 = ResStageNLN([w * 4], [w * 8], [1], [2], [2],
+                              nln_inds=[1], pool_size=[1, 2, 2],
+                              instantiation=instantiation)
+        self.s4 = ResStage([w * 8], [w * 16], [3], [2], [2])
+        self.s5 = ResStage([w * 16], [w * 32], [3], [2], [2])
+        s_out = crop // 32
+        self.head = BasicHead([w * 32], num_classes,
+                              [[num_frames, s_out, s_out]])
+
+    def forward(self, x):
+        x = self.s1([t for t in x])
+        x = self.s2(x)
+        x = self.s3(x)
+        x = self.s4(x)
+        x = self.s5(x)
+        return self.head(x)
