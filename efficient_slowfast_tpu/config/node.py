@@ -173,6 +173,28 @@ def _coerce(value: Any, existing: Any, key: str) -> Any:
             value = yaml.safe_load(value)
         except yaml.YAMLError:
             pass
+    # pyyaml (YAML 1.1) parses bare scientific notation ("1e-4") as a
+    # STRING — the classic gotcha. When the default is numeric, parse it.
+    if isinstance(value, str) and isinstance(existing, float):
+        try:
+            value = float(value)
+        except ValueError:
+            raise ValueError(
+                f"Cannot coerce {value!r} to float for key {key}")
+    if (isinstance(value, list) and isinstance(existing, (list, tuple))
+            and any(isinstance(v, str) for v in value)
+            and (not existing  # e.g. SOLVER.LRS defaults to []
+                 or all(isinstance(e, (int, float)) and not isinstance(e, bool)
+                        for e in existing))):
+        def _tryfloat(v):
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return v  # genuine string lists (file names) untouched
+            return v
+
+        value = [_tryfloat(v) for v in value]
     if existing is None or value is None:
         return value
     if isinstance(existing, bool) and not isinstance(value, bool):

@@ -133,3 +133,30 @@ def test_every_config_builds_and_eval_shapes(yaml_path):
         out = jax.eval_shape(
             lambda v, i: model.apply(v, i, train=False), shapes, inputs)
         assert out.shape == (2, cfg.MODEL.NUM_CLASSES), yaml_path
+
+
+def test_yaml_scientific_notation_coerces_to_float(tmp_path):
+    """pyyaml parses bare '1e-4' as a STRING (YAML 1.1); numeric defaults
+    must coerce it — a string WEIGHT_DECAY crashed the optimizer in every
+    yaml-driven training run."""
+    from efficient_slowfast_tpu.config import get_cfg
+
+    p = tmp_path / "c.yaml"
+    p.write_text("SOLVER:\n  WEIGHT_DECAY: 1e-4\n  BASE_LR: 1e-1\n"
+                 "  LRS: [1, 1e-1, 1e-2]\n")
+    cfg = get_cfg()
+    cfg.merge_from_file(str(p))
+    assert isinstance(cfg.SOLVER.WEIGHT_DECAY, float)
+    assert cfg.SOLVER.WEIGHT_DECAY == 1e-4
+    assert cfg.SOLVER.BASE_LR == 0.1
+    assert all(isinstance(v, float) or isinstance(v, int)
+               for v in cfg.SOLVER.LRS)
+    assert cfg.SOLVER.LRS[1] == 0.1
+    # CLI opts path
+    cfg.merge_from_list(["SOLVER.WEIGHT_DECAY", "1e-6"])
+    assert cfg.SOLVER.WEIGHT_DECAY == 1e-6
+    # non-numeric strings for float keys fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="coerce"):
+        cfg.merge_from_list(["SOLVER.WEIGHT_DECAY", "abc"])
