@@ -181,20 +181,43 @@ def _coerce(value: Any, existing: Any, key: str) -> Any:
         except ValueError:
             raise ValueError(
                 f"Cannot coerce {value!r} to float for key {key}")
+    elif (isinstance(value, str) and isinstance(existing, int)
+          and not isinstance(existing, bool)):
+        try:
+            f = float(value)
+        except ValueError:
+            raise ValueError(
+                f"Cannot coerce {value!r} to int for key {key}")
+        value = int(f) if f.is_integer() else f
     if (isinstance(value, list) and isinstance(existing, (list, tuple))
-            and any(isinstance(v, str) for v in value)
-            and (not existing  # e.g. SOLVER.LRS defaults to []
-                 or all(isinstance(e, (int, float)) and not isinstance(e, bool)
-                        for e in existing))):
-        def _tryfloat(v):
-            if isinstance(v, str):
-                try:
-                    return float(v)
-                except ValueError:
-                    return v  # genuine string lists (file names) untouched
-            return v
+            and any(isinstance(v, str) for v in value)):
+        def _parse(v):
+            try:
+                return float(v)
+            except ValueError:
+                return None
 
-        value = [_tryfloat(v) for v in value]
+        numeric_default = existing and all(
+            isinstance(e, (int, float)) and not isinstance(e, bool)
+            for e in existing
+        )
+        if numeric_default:
+            # known-numeric target: fail loudly, matching the scalar path
+            for v in value:
+                if isinstance(v, str) and _parse(v) is None:
+                    raise ValueError(
+                        f"Cannot coerce {v!r} to float in list key {key}")
+            value = [float(v) if isinstance(v, str) else v for v in value]
+        elif not existing:
+            # empty default (e.g. SOLVER.LRS = []): element types unknown —
+            # coerce only when EVERY element is numeric, so quoted string
+            # lists (file names, even numeric-looking ones mixed with
+            # paths) pass through untouched
+            if all((not isinstance(v, str)
+                    and isinstance(v, (int, float)))
+                   or (isinstance(v, str) and _parse(v) is not None)
+                   for v in value):
+                value = [float(v) if isinstance(v, str) else v for v in value]
     if existing is None or value is None:
         return value
     if isinstance(existing, bool) and not isinstance(value, bool):

@@ -160,3 +160,30 @@ def test_yaml_scientific_notation_coerces_to_float(tmp_path):
 
     with _pytest.raises(ValueError, match="coerce"):
         cfg.merge_from_list(["SOLVER.WEIGHT_DECAY", "abc"])
+
+
+def test_coercion_edge_cases(tmp_path):
+    """Edge cases of the numeric coercion: int defaults, mixed string
+    lists, loud failures for numeric-default lists."""
+    from efficient_slowfast_tpu.config import get_cfg
+
+    # int-default scalar receiving sci-notation
+    cfg = get_cfg()
+    cfg.merge_from_list(["SOLVER.MAX_EPOCH", "1e2"])
+    assert cfg.SOLVER.MAX_EPOCH == 100 and isinstance(cfg.SOLVER.MAX_EPOCH, int)
+    with pytest.raises(ValueError, match="coerce"):
+        cfg.merge_from_list(["SOLVER.MAX_EPOCH", "ten"])
+
+    # empty-default list with a numeric-LOOKING path stays a string list
+    p = tmp_path / "c.yaml"
+    p.write_text('AVA:\n  TRAIN_PREDICT_BOX_LISTS: ["123", "boxes.csv"]\n')
+    cfg2 = get_cfg()
+    cfg2.merge_from_file(str(p))
+    assert cfg2.AVA.TRAIN_PREDICT_BOX_LISTS == ["123", "boxes.csv"]
+
+    # numeric-default list with a junk element fails at merge time, not at
+    # the first LR lookup mid-training
+    cfg3 = get_cfg()
+    cfg3.SOLVER.LRS = [1.0, 0.1]
+    with pytest.raises(ValueError, match="coerce"):
+        cfg3.merge_from_list(["SOLVER.LRS", "[1e-1, abc]"])
