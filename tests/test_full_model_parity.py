@@ -224,66 +224,6 @@ def test_slow_resnet_full_model_parity(tmp_path):
     _compare(cfg, tmodel, tmp_path, std=0.05)
 
 
-def test_ghostnet_full_model_parity(tmp_path):
-    from tests.torch_golden import TorchGhostNet
-
-    cfg = _base_cfg()
-    cfg.MODEL.MODEL_NAME = "SlowFastGhostNet"
-    cfg.SLOWFAST.WIDTH_MULTI = 1.0
-    tmodel = TorchGhostNet(num_classes=6, width_mult=1.0, alpha=4, beta_inv=8)
-    # eval head is ReLU-then-mean (faithful reference quirk), not a
-    # probability distribution
-    _compare(cfg, tmodel, tmp_path, train_tol=dict(rtol=1e-3, atol=2e-3),
-             eval_probs=False)
-
-
-def test_slow_resnet_full_model_parity(tmp_path):
-    """Single-pathway ResNet family (arch=slow)."""
-    from tests.torch_golden import TorchSlowR18
-
-    cfg = _resnet_cfg(_base_cfg())
-    cfg.MODEL.MODEL_NAME = "ResNet"
-    cfg.MODEL.ARCH = "slow"
-    cfg.DATA.NUM_FRAMES = 4  # head pool window derives from this
-    cfg.DATA.INPUT_CHANNEL_NUM = [3]
-    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2]] * 4
-    cfg.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
-    cfg.RESNET.SPATIAL_DILATIONS = [[1]] * 4
-    cfg.NONLOCAL.LOCATION = [[[]]] * 4
-    cfg.NONLOCAL.GROUP = [[1]] * 4
-    cfg.NONLOCAL.POOL = [[[1, 2, 2]]] * 4
-    # std 0.05: at 0.1 the 256-channel tail stages overflow f32 through
-    # the un-normalized final BN products (torch saturates identically)
-    tmodel = _randomize(TorchSlowR18(num_classes=6, width=8, num_frames=4,
-                                     crop=32), std=0.05)
-
-    import torch as _torch
-
-    model = build_model(cfg)
-    t, s = 4, 32
-    x = [jnp.zeros((2, t, s, s, 3))]
-    k = jax.random.PRNGKey(0)
-    v = jax.jit(functools.partial(model.init, train=False))(
-        {"params": k, "dropout": k}, x)
-    ckpt = str(tmp_path / "golden_slow.pyth")
-    _torch.save({"model_state": tmodel.state_dict(), "epoch": 0}, ckpt)
-    params, stats = load_torch_checkpoint(
-        cfg, ckpt, v["params"], v.get("batch_stats", {}))
-    variables = {"params": params, "batch_stats": stats}
-
-    rs = np.random.RandomState(3)
-    frames = rs.randn(2, 3, t, s, s).astype(np.float32)
-    xj = [jnp.asarray(np.transpose(frames, (0, 2, 3, 4, 1)))]
-    xt = [_torch.from_numpy(frames)]
-
-    tmodel.eval()
-    with _torch.no_grad():
-        ref = tmodel(xt).numpy()
-    ours = np.asarray(model.apply(variables, xj, train=False))
-    np.testing.assert_allclose(ours, ref, **TOL)
-    np.testing.assert_allclose(ours.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
-
-
 @pytest.mark.parametrize("instantiation", ["softmax", "dot_product"])
 def test_slow_nln_full_model_parity(tmp_path, instantiation):
     """Non-local family: composed trunk with an NLN block in s3 (checkpoint
