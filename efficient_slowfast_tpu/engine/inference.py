@@ -32,8 +32,12 @@ import numpy as np
 from ..models.slowfast import _MODEL_STAGE_DEPTH, _POOL1
 from ..ops.pallas.fused_bottleneck import (bottleneck_reference, fold_bn,
                                            fused_bottleneck)
+from ..utils import logging as logging_util
+
+logger = logging_util.get_logger(__name__)
 
 BN_EPS = 1e-5
+_FALLBACK_WARNED = False
 
 
 def supports(cfg) -> bool:
@@ -124,7 +128,19 @@ def _block(x, params, stats, name, stride, dtype, use_pallas):
         if use_pallas:
             try:
                 y = fused_bottleneck(*args)
-            except ValueError:  # no VMEM plan — shape outside the envelope
+            except Exception as e:
+                # No VMEM plan (ValueError) or the kernel build itself failed
+                # at trace time — degrade to the XLA reference path rather
+                # than crash the opt-in FUSED_EVAL run. (A Mosaic failure at
+                # XLA-compile time is outside this trace-time guard; the
+                # supports() gate + _plan envelope is what prevents those.)
+                global _FALLBACK_WARNED
+                if not _FALLBACK_WARNED:
+                    _FALLBACK_WARNED = True
+                    logger.warning(
+                        "fused_bottleneck unavailable (%s: %s); using the "
+                        "XLA reference block for this and further shapes",
+                        type(e).__name__, e)
                 y = bottleneck_reference(*args)
         else:
             y = bottleneck_reference(*args)
@@ -134,12 +150,11 @@ def _block(x, params, stats, name, stride, dtype, use_pallas):
                       dtype).astype(dtype)
 
 
-def make_fused_eval_forward(cfg, variables=None):
+def make_fused_eval_forward(cfg):
     """Build the jitted fused eval forward: fn(variables, [slow, fast]) →
     scores, where ``variables`` is the standard {"params", "batch_stats"}
-    pytree from create_train_state / checkpoint load. (The constructor
-    itself needs only the cfg; the unused ``variables`` parameter keeps the
-    call-site symmetric with model.apply.)
+    pytree from create_train_state / checkpoint load. The constructor needs
+    only the cfg — variables are an argument of the returned fn.
     """
     assert supports(cfg), "config outside the fused engine's envelope"
     from ..models.build import get_compute_dtype

@@ -160,15 +160,16 @@ def make_eval_step(cfg, model) -> Callable:
 def make_forward(cfg, model) -> Callable:
     """Jitted inference forward: (variables, inputs) → preds.
 
-    When cfg.TPU.FUSED_EVAL covers this config, eval runs through the
-    fused serving engine (folded BN + Pallas bottleneck blocks,
-    engine/inference.py) — numerically equivalent, ~2x faster on TPU.
+    cfg.TPU.FUSED_EVAL (default off) opts into the fused serving engine
+    (folded BN + Pallas bottleneck blocks, engine/inference.py) —
+    numerically equivalent, but measured SLOWER end-to-end than XLA's own
+    conv fusion on v5e (PERF.md); kept as a tested opt-in.
     """
     if cfg.TPU.FUSED_EVAL:
         from .inference import make_fused_eval_forward, supports
 
         if supports(cfg):
-            return make_fused_eval_forward(cfg, model)
+            return make_fused_eval_forward(cfg)
 
     def fwd(variables, inputs):
         return model.apply(variables, inputs, train=False)
@@ -190,15 +191,18 @@ def _flatten_rois(boxes):
 
 
 def make_detection_train_step(cfg, model, tx) -> Callable:
-    """AVA detection train step: masked BCE over padded per-sample boxes.
+    """AVA detection train step: masked MODEL.LOSS_FUNC over padded boxes.
 
-    The reference computes the loss on post-activation scores with
-    cfg.MODEL.LOSS_FUNC = "bce" (tools/train_net.py + head act, reference
-    head_helper.py:126-129); padded boxes are masked out of the mean.
+    The reference RoI head applies its activation in train AND eval
+    (head_helper.py:126-129) and feeds that output to whatever loss
+    cfg.MODEL.LOSS_FUNC names (tools/train_net.py; AVA configs use "bce" on
+    post-sigmoid scores). Same placement here; padded boxes are masked out
+    of the mean, so the loss must be elementwise — unsupported loss names
+    raise at build time rather than silently training with "bce".
     """
-    from ..models.losses import get_loss_func
+    from ..models.losses import get_elementwise_loss_func
 
-    loss_fn = get_loss_func(cfg.MODEL.LOSS_FUNC)
+    elem_loss_fn = get_elementwise_loss_func(cfg.MODEL.LOSS_FUNC)
     donate = cfg.TPU.DONATE
 
     def step(state: TrainState, inputs, boxes, labels, mask, lr, rng):
@@ -213,10 +217,7 @@ def make_detection_train_step(cfg, model, tx) -> Callable:
                 inputs, rois, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            per_box = -(
-                flat_labels * jnp.log(jnp.clip(preds, 1e-7, 1.0))
-                + (1.0 - flat_labels) * jnp.log(jnp.clip(1.0 - preds, 1e-7, 1.0))
-            ).mean(axis=-1)
+            per_box = elem_loss_fn(preds, flat_labels).mean(axis=-1)
             loss = (per_box * flat_mask).sum() / jnp.maximum(flat_mask.sum(), 1.0)
             return loss, (preds, new_model_state)
 

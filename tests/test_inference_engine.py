@@ -83,7 +83,7 @@ def test_engine_matches_flax_f32(depth):
                  "batch_stats": jitter(dict(variables["batch_stats"]))}
 
     ref = model.apply(variables, inputs, train=False)
-    fused = make_fused_eval_forward(cfg, variables)
+    fused = make_fused_eval_forward(cfg)
     out = fused(variables, inputs)
 
     assert out.shape == ref.shape == (b, cfg.MODEL.NUM_CLASSES)
