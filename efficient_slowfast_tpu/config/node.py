@@ -207,7 +207,19 @@ def _coerce(value: Any, existing: Any, key: str) -> Any:
                 if isinstance(v, str) and _parse(v) is None:
                     raise ValueError(
                         f"Cannot coerce {v!r} to float in list key {key}")
-            value = [float(v) if isinstance(v, str) else v for v in value]
+            # mirror the scalar rule per element: an all-int default (e.g. a
+            # stride/epoch list) keeps int for integral values so downstream
+            # range()/indexing doesn't see 8.0
+            all_int = all(isinstance(e, int) and not isinstance(e, bool)
+                          for e in existing)
+
+            def _coerce(v):
+                if not isinstance(v, str):
+                    return v
+                f = float(v)
+                return int(f) if all_int and f.is_integer() else f
+
+            value = [_coerce(v) for v in value]
         elif not existing:
             # empty default (e.g. SOLVER.LRS = []): element types unknown —
             # coerce only when EVERY element is numeric, so quoted string

@@ -32,13 +32,34 @@ class KernelOptions:
 
 
 options = KernelOptions()
+_configured = False
 
 
 def configure(cfg) -> KernelOptions:
-    """Set process-wide kernel options from ``cfg.TPU``; returns them."""
-    options.tap_decompose = bool(cfg.TPU.TAP_DECOMPOSE)
-    options.stem_d2s = bool(cfg.TPU.STEM_D2S)
-    options.flash_attention = bool(cfg.TPU.FLASH_ATTENTION)
-    options.flash_min_tokens = int(cfg.TPU.FLASH_MIN_TOKENS)
-    options.flash_max_keys = int(cfg.TPU.FLASH_MAX_KEYS)
+    """Set process-wide kernel options from ``cfg.TPU``; returns them.
+
+    The options are a process-wide singleton (they feed retrace-time
+    dispatch decisions), so building a second model under a DIFFERENT
+    cfg.TPU.* silently changes kernel dispatch for earlier models on their
+    next retrace — warn loudly when that happens so mixed-config processes
+    (e.g. a bench script building two models) see it.
+    """
+    global _configured
+    new = KernelOptions(
+        tap_decompose=bool(cfg.TPU.TAP_DECOMPOSE),
+        stem_d2s=bool(cfg.TPU.STEM_D2S),
+        flash_attention=bool(cfg.TPU.FLASH_ATTENTION),
+        flash_min_tokens=int(cfg.TPU.FLASH_MIN_TOKENS),
+        flash_max_keys=int(cfg.TPU.FLASH_MAX_KEYS),
+    )
+    if _configured and new != options:
+        from ..utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            "Kernel options reconfigured with different values (%s -> %s); "
+            "previously built models pick the new dispatch on their next "
+            "retrace", options, new)
+    _configured = True
+    for f in new.__dataclass_fields__:
+        setattr(options, f, getattr(new, f))
     return options

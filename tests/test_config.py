@@ -187,3 +187,31 @@ def test_coercion_edge_cases(tmp_path):
     cfg3.SOLVER.LRS = [1.0, 0.1]
     with pytest.raises(ValueError, match="coerce"):
         cfg3.merge_from_list(["SOLVER.LRS", "[1e-1, abc]"])
+
+
+def test_int_default_list_keeps_int_elements(tmp_path):
+    """ADVICE r2: a quoted/sci-notation element merged into an all-int
+    default list (e.g. a stride/epoch list) must stay int, mirroring the
+    scalar rule — 8.0 in SOLVER.STEPS breaks range()/indexing downstream."""
+    from efficient_slowfast_tpu.config import get_cfg
+
+    p = tmp_path / "c.yaml"
+    p.write_text('SOLVER:\n  STEPS: ["0", "1e1", 20]\n')
+    cfg = get_cfg()
+    cfg.SOLVER.STEPS = [0, 30, 60]
+    cfg.merge_from_file(str(p))
+    assert cfg.SOLVER.STEPS == [0, 10, 20]
+    assert all(isinstance(v, int) for v in cfg.SOLVER.STEPS)
+
+    # a float-default list still coerces to float
+    cfg2 = get_cfg()
+    cfg2.SOLVER.LRS = [1.0, 0.1]
+    cfg2.merge_from_list(["SOLVER.LRS", "[1, 1e-1]"])
+    assert cfg2.SOLVER.LRS[1] == 0.1
+
+    # a genuinely fractional value into an int-default list stays float
+    # (loud downstream is better than silent truncation)
+    cfg3 = get_cfg()
+    cfg3.SOLVER.STEPS = [0, 30]
+    cfg3.merge_from_list(["SOLVER.STEPS", "[0, 1.5]"])
+    assert cfg3.SOLVER.STEPS == [0, 1.5]
