@@ -7,16 +7,20 @@ Default invocation prints ONE JSON line:
 measuring the jitted eval forward (post-softmax multi-view scores,
 TEST_CROP 256, 32-frame clips — the reference's standard 30-view test
 configuration, reference: tools/test_net.py + configs/Kinetics/
-SLOWFAST_8x8_R50.yaml) in bf16, served through the fused inference engine
-(engine/inference.py: folded BN + Pallas fused bottleneck blocks) when on
-TPU.
+SLOWFAST_8x8_R50.yaml) in bf16 through plain XLA (the fastest measured
+path; the Pallas fused engine is a tested opt-in that LOSES end-to-end —
+PERF.md, cfg.TPU.FUSED_EVAL default off).
 
 Extra modes (each prints its own JSON line; `--mode all` prints all):
-  --mode train     jitted train-step clips/s at the flagship config
-  --mode pipeline  eval loop fed by the synthetic loader through
-                   prefetch_to_device (host decode/collate overlap on)
-  --mode mfu       model FLOPs utilization of the eval forward from XLA
-                   cost analysis vs the chip's nominal bf16 peak
+  --mode train         jitted train-step clips/s at the flagship config
+  --mode shufflenetv2  second north-star model (BASELINE.md):
+                       SlowFastShuffleNetV2 w2.0 16x2 112² eval throughput
+                       (the published headline efficient variant,
+                       configs/Kinetics/SLOWFAST_SHUFFLENETV2_16x2_112.yaml)
+  --mode pipeline      eval loop fed by the synthetic loader through
+                       prefetch_to_device (host decode/collate overlap on)
+  --mode mfu           model FLOPs utilization of the eval forward from XLA
+                       cost analysis vs the chip's nominal bf16 peak
 
 vs_baseline compares against an A100 PyTorch estimate for the same model
 (~135 clips/s for SlowFast-R50 eval fwd at 256², fp16, batch-optimal; no
@@ -170,6 +174,55 @@ def bench_train(cfg, emit):
     return value
 
 
+def bench_shufflenetv2(emit):
+    """Second north-star model (BASELINE.md): SlowFastShuffleNetV2 w2.0,
+    16x2 clips at 112² — the fork's published headline efficient variant
+    (reference configs + README "Pretrained models" table; repo config
+    configs/Kinetics/SLOWFAST_SHUFFLENETV2_16x2_112.yaml)."""
+    import jax
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.engine.state import create_train_state, \
+        make_forward
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs/Kinetics/SLOWFAST_SHUFFLENETV2_16x2_112.yaml"))
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if on_cpu:  # keep the smoke path cheap
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.DATA.CROP_SIZE = 56
+        cfg.DATA.TEST_CROP_SIZE = 56
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = 2 if on_cpu else 512  # measured best on v5e (r2: 5146 @512)
+    inputs = _eval_inputs(cfg, batch)
+    fwd = make_forward(cfg, model)
+
+    _sync(fwd(variables, inputs))  # compile + warmup
+    _sync(fwd(variables, inputs))
+    iters = 3 if on_cpu else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, inputs)
+    _sync(out)
+    dt = time.perf_counter() - t0
+
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "SlowFastShuffleNetV2 w2.0 16x2 112^2 eval fwd throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": None,
+    })
+    return value
+
+
 def bench_pipeline(cfg, emit):
     """Eval loop fed by the synthetic loader through prefetch_to_device —
     exercises host decode/collate → device transfer overlap end-to-end."""
@@ -293,15 +346,28 @@ def bench_mfu(cfg, emit, eval_clips_per_sec=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
-                    choices=["eval", "train", "pipeline", "mfu", "all"])
+                    choices=["eval", "train", "shufflenetv2", "pipeline",
+                             "mfu", "all"])
     args = ap.parse_args()
 
     import jax
 
     try:  # persistent compile cache makes repeat bench runs near-instant
+        # Key the default dir by the host CPU feature set: XLA:CPU loads
+        # cross-machine AOT cache entries with only a warning, and after a
+        # VM migration the stale blobs can execute garbage (see
+        # tests/conftest.py::_machine_cache_dir).
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                _flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            _flags = ""
+        _dir = "/tmp/jax_bench_cache-" + \
+            hashlib.sha1(_flags.encode()).hexdigest()[:10]
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", _dir),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -313,6 +379,8 @@ def main():
         bench_eval(_flagship_cfg(), emit)
     elif args.mode == "train":
         bench_train(_flagship_cfg(), emit)
+    elif args.mode == "shufflenetv2":
+        bench_shufflenetv2(emit)
     elif args.mode == "pipeline":
         bench_pipeline(_flagship_cfg(), emit)
     elif args.mode == "mfu":
@@ -320,6 +388,7 @@ def main():
     else:
         clips = bench_eval(_flagship_cfg(), emit)
         bench_train(_flagship_cfg(), emit)
+        bench_shufflenetv2(emit)
         bench_pipeline(_flagship_cfg(), emit)
         bench_mfu(_flagship_cfg(), emit, eval_clips_per_sec=clips)
 
