@@ -19,7 +19,8 @@ from ..config.node import CfgNode
 from ..data.loader import construct_loader, shuffle_dataset
 from ..data.preprocess import make_train_preprocess
 from ..models import build_model
-from ..ops.norm import aggregate_sub_bn_stats
+from ..ops.norm import (aggregate_sub_bn_stats, convert_bn_stats,
+                        effective_num_splits)
 from ..parallel.mesh import build_mesh, shard_batch
 from ..utils import checkpoint as cu
 from ..utils import lr_policy
@@ -35,6 +36,17 @@ def check_nan_losses(loss: float):
     """reference: utils/misc.py:26-33."""
     if math.isnan(loss):
         raise RuntimeError("ERROR: Got NaN losses")
+
+
+def _bn_signature(cfg):
+    """(norm_type, num_splits) pair deciding whether the module tree must be
+    rebuilt at a multigrid phase boundary. batchnorm vs sync_batchnorm is
+    structurally identical under pjit (ops/norm.py), so both map to the same
+    signature."""
+    norm = cfg.BN.NORM_TYPE
+    if norm == "sub_batchnorm":
+        return (norm, cfg.BN.NUM_SPLITS)
+    return ("batchnorm", 0)
 
 
 def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
@@ -174,6 +186,7 @@ def train(cfg: CfgNode):
     train_step = make_train_step(cfg, model, tx)
     eval_step = make_eval_step(cfg, model)
     preprocess = make_train_preprocess(cfg)
+    cur_bn = _bn_signature(cfg)
 
     train_meter = TrainMeter(len(train_loader), cfg)
     val_meter = ValMeter(len(val_loader), cfg)
@@ -191,6 +204,24 @@ def train(cfg: CfgNode):
             if changed:
                 # shape phase change: rebuild loaders + steps (bounded set of
                 # compiled programs; params carry over unchanged)
+                new_bn = _bn_signature(cfg)
+                if new_bn != cur_bn:
+                    # BN-type auto-switch (utils/multigrid.py:69-90): the
+                    # reference rebuilds the whole trainer + checkpoint
+                    # round-trip (tools/train_net.py:410-432). Here the param
+                    # layout is BN-type-invariant (ops/norm.py), so rebuild
+                    # the module tree and convert only the batch_stats
+                    # between normal and split form; params/opt state carry.
+                    logger.info("multigrid BN rebuild: %s -> %s", cur_bn, new_bn)
+                    model = build_model(cfg)
+                    state = shard_state(
+                        state.replace(batch_stats=convert_bn_stats(
+                            state.batch_stats, cur_bn[0], new_bn[0],
+                            effective_num_splits(cfg))),
+                        mesh,
+                    )
+                    eval_step = make_eval_step(cfg, model)
+                    cur_bn = new_bn
                 train_loader = construct_loader(cfg, "train")
                 val_loader = construct_loader(cfg, "val")
                 if cfg.BN.USE_PRECISE_STATS:

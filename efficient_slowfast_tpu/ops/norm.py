@@ -50,6 +50,10 @@ class BatchNorm3d(nn.Module):
             axis_index_groups=self.axis_index_groups,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            # flax's fast variance is E[x²]−E[x]², which cancels to negative
+            # in float32 when |mean| >> std and NaNs the rsqrt; torch BN
+            # (the parity target) computes the stable two-pass form.
+            use_fast_variance=False,
             name="bn",
         )(x)
 
@@ -61,6 +65,13 @@ class SubBatchNorm3d(nn.Module):
     normalized with its own batch statistics and its own running stats
     (``split_mean``/``split_var``). Eval: uses the aggregated ``mean``/``var``
     (see :func:`aggregate_sub_bn_stats`). Affine scale/bias are shared.
+
+    The params/stats live under a child scope named ``bn`` so the pytree
+    layout matches :class:`BatchNorm3d` (whose inner ``nn.BatchNorm`` is also
+    named ``bn``): a multigrid BN-type switch (utils/multigrid.py auto-switch,
+    reference tools/train_net.py:410-432) then carries params and optimizer
+    state across unchanged — only ``batch_stats`` gain/lose the ``split_*``
+    entries (see :func:`normal_to_sub_bn` / :func:`sub_to_normal_bn`).
     """
 
     num_splits: int = 1
@@ -68,6 +79,25 @@ class SubBatchNorm3d(nn.Module):
     momentum: float = 0.1
     zero_init_gamma: bool = False
     dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return _SubBN3dInner(
+            num_splits=self.num_splits,
+            epsilon=self.epsilon,
+            momentum=self.momentum,
+            zero_init_gamma=self.zero_init_gamma,
+            name="bn",
+        )(x, train)
+
+
+class _SubBN3dInner(nn.Module):
+    """Implementation body of SubBatchNorm3d (scoped under ``bn``)."""
+
+    num_splits: int = 1
+    epsilon: float = 1e-5
+    momentum: float = 0.1
+    zero_init_gamma: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -98,10 +128,16 @@ class SubBatchNorm3d(nn.Module):
                 f"batch {b} not divisible by BN.NUM_SPLITS={self.num_splits}"
             )
             xs = xf.reshape((self.num_splits, b // self.num_splits) + x.shape[1:])
-            # Per-split batch stats over (batch, T, H, W).
+            # Per-split batch stats over (batch, T, H, W). Two-pass variance,
+            # NOT E[x²]−E[x]²: the one-pass form cancels catastrophically in
+            # float32 when |mean| >> std and the negative result NaNs the
+            # rsqrt (observed: data-dependent NaN losses in sub-BN training;
+            # torch's native BN uses Welford so the reference never hits it).
             axes = (1, 2, 3, 4)
             mean = jnp.mean(xs, axis=axes)  # (splits, C)
-            var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+            var = jnp.mean(
+                jnp.square(xs - mean[:, None, None, None, None, :]), axis=axes
+            )
             if not self.is_initializing():
                 m = self.momentum
                 split_mean.value = (1 - m) * split_mean.value + m * mean
@@ -122,6 +158,12 @@ def aggregate_sub_bn_stats(batch_stats: Any) -> Any:
     Pure-pytree equivalent of the reference's ``aggregate_stats`` walk
     (reference: batchnorm_helper.py:98-109, utils/misc.py:257-272). Applies to
     every subtree that carries {split_mean, split_var, mean, var}.
+
+    Runs as ONE jitted program: the stats may be sharded over the mesh
+    (split dim over "data"), so each leaf op carries a collective — many
+    concurrent eager multi-device dispatches can interleave their
+    rendezvous and deadlock (seen on the CPU backend); a single compiled
+    program also costs one dispatch instead of ~2 per BN layer.
     """
     import jax
 
@@ -138,9 +180,149 @@ def aggregate_sub_bn_stats(batch_stats: Any) -> Any:
             return {k: fix(v) for k, v in tree.items()}
         return tree
 
-    if hasattr(batch_stats, "items") and not isinstance(batch_stats, dict):
-        batch_stats = dict(batch_stats)
-    return fix(jax.tree_util.tree_map(lambda x: x, batch_stats))
+    return jax.jit(fix)(_as_plain_dict(batch_stats))
+
+
+def _as_plain_dict(tree):
+    import jax
+
+    if hasattr(tree, "items") and not isinstance(tree, dict):
+        tree = dict(tree)
+    return jax.tree_util.tree_map(lambda x: x, tree)
+
+
+def normal_to_sub_bn(batch_stats: Any, num_splits: int) -> Any:
+    """Rewrite plain-BN running stats into sub-BN stats (split tiles).
+
+    Pytree counterpart of the reference's checkpoint rewrite
+    (reference: slowfast/utils/checkpoint.py:290-389, ``normal_to_sub_bn``):
+    every BN stats leaf-dict {mean, var} gains ``split_mean``/``split_var``
+    tiles replicated from the running stats, so each split starts from the
+    aggregated statistics — exactly what the reference does when it reloads a
+    normal-BN checkpoint into a sub-BN trainer at a multigrid phase boundary.
+    Existing split stats with a different leading dim are re-tiled from the
+    aggregate (NUM_SPLITS changed between two sub-BN phases).
+    """
+
+    def fix(tree):
+        if isinstance(tree, dict):
+            keys = set(tree.keys())
+            if {"mean", "var"} <= keys:
+                mean, var = tree["mean"], tree["var"]
+                sm, sv = tree.get("split_mean"), tree.get("split_var")
+                if sm is None or sm.shape[0] != num_splits:
+                    sm = jnp.tile(mean[None], (num_splits, 1))
+                    sv = jnp.tile(var[None], (num_splits, 1))
+                new = dict(tree)
+                new["split_mean"], new["split_var"] = sm, sv
+                return new
+            return {k: fix(v) for k, v in tree.items()}
+        return tree
+
+    import jax
+
+    # one jitted program — see aggregate_sub_bn_stats on why not eager
+    return jax.jit(fix)(_as_plain_dict(batch_stats))
+
+
+def sub_to_normal_bn(batch_stats: Any) -> Any:
+    """Rewrite sub-BN stats into plain-BN stats (aggregate, drop splits).
+
+    Pytree counterpart of the reference's ``sub_to_normal_bn``
+    (reference: slowfast/utils/checkpoint.py:290-330): the aggregated
+    ``mean``/``var`` (union statistics over the splits) become the plain BN
+    running stats and the ``split_*`` entries are dropped, so a sub-BN phase
+    hands correct running statistics to the following normal/sync-BN phase.
+    """
+
+    def fix(tree):
+        if isinstance(tree, dict):
+            keys = set(tree.keys())
+            if {"split_mean", "split_var", "mean", "var"} <= keys:
+                sm, sv = tree["split_mean"], tree["split_var"]
+                mean = jnp.mean(sm, axis=0)
+                var = jnp.mean(sv, axis=0) + jnp.mean(
+                    jnp.square(sm - mean), axis=0
+                )
+                new = {k: v for k, v in tree.items()
+                       if k not in ("split_mean", "split_var")}
+                new["mean"], new["var"] = mean, var
+                return new
+            return {k: fix(v) for k, v in tree.items()}
+        return tree
+
+    import jax
+
+    # one jitted program — see aggregate_sub_bn_stats on why not eager
+    return jax.jit(fix)(_as_plain_dict(batch_stats))
+
+
+def adapt_bn_stats_to(target: Any, stats: Any) -> Any:
+    """Reshape a restored batch_stats payload into the target tree's BN form.
+
+    Checkpoints may be saved in one BN form (plain vs sub) and restored into
+    a model built in the other — e.g. auto-resume into a different multigrid
+    long-cycle phase. Mirrors the reference's load-time rewrites
+    (slowfast/utils/checkpoint.py:290-389 sub_to_normal_bn/normal_to_sub_bn):
+    where the target expects ``split_*`` and the payload has none, the splits
+    are tiled from the running stats; where the target has none and the
+    payload does, the splits are aggregated away. Walks both trees in
+    parallel so per-node split counts come from the target's shapes.
+    """
+
+    def fix(tgt, src):
+        if not isinstance(tgt, dict) or not isinstance(src, dict):
+            return src
+        tkeys, skeys = set(tgt.keys()), set(src.keys())
+        tgt_sub = {"split_mean", "split_var"} <= tkeys
+        src_sub = {"split_mean", "split_var"} <= skeys
+        if {"mean", "var"} <= skeys and tgt_sub and not src_sub:
+            return normal_to_sub_bn(src, int(tgt["split_mean"].shape[0]))
+        if src_sub and {"mean", "var"} <= tkeys and not tgt_sub:
+            return sub_to_normal_bn(src)
+        if tgt_sub and src_sub and (
+            src["split_mean"].shape[0] != tgt["split_mean"].shape[0]
+        ):
+            return normal_to_sub_bn(sub_to_normal_bn(src),
+                                    int(tgt["split_mean"].shape[0]))
+        return {k: (fix(tgt[k], v) if k in tgt else v) for k, v in src.items()}
+
+    return fix(_as_plain_dict(target), _as_plain_dict(stats))
+
+
+def convert_bn_stats(batch_stats: Any, old_type: str, new_type: str,
+                     num_splits: int) -> Any:
+    """Convert batch_stats across a BN-type change (no-op when compatible).
+
+    The multigrid engine calls this at a long-cycle phase boundary whose
+    auto-switch changed ``BN.NORM_TYPE`` (reference rebuilds the whole
+    trainer + checkpoint round-trip, tools/train_net.py:410-432; here the
+    params tree is layout-identical so only the stats move).
+    """
+    old_sub = old_type == "sub_batchnorm"
+    new_sub = new_type == "sub_batchnorm"
+    if new_sub:
+        return normal_to_sub_bn(batch_stats, num_splits)
+    if old_sub and not new_sub:
+        return sub_to_normal_bn(batch_stats)
+    return batch_stats
+
+
+def effective_num_splits(cfg) -> int:
+    """Global split count for SubBatchNorm3d under pjit.
+
+    ``cfg.BN.NUM_SPLITS`` keeps the reference's per-device meaning
+    (reference batchnorm_helper.py:37-60: each GPU splits its LOCAL batch
+    into NUM_SPLITS groups, giving BN groups of BN_BASE_SIZE samples). The
+    jitted step sees the GLOBAL batch, so the module's split count is
+    NUM_SPLITS × data-axis size: the reshape keeps every split inside one
+    device's batch shard (stats stay device-local, no collective) and the
+    BN group size stays BN_BASE_SIZE — the reference's exact statistical
+    granularity.
+    """
+    from ..parallel.mesh import mesh_device_count
+
+    return max(1, int(cfg.BN.NUM_SPLITS)) * mesh_device_count(cfg)
 
 
 def get_norm(cfg) -> Callable[..., nn.Module]:
@@ -152,5 +334,7 @@ def get_norm(cfg) -> Callable[..., nn.Module]:
     if cfg.BN.NORM_TYPE in ("batchnorm", "sync_batchnorm"):
         return functools.partial(BatchNorm3d, **kwargs)
     if cfg.BN.NORM_TYPE == "sub_batchnorm":
-        return functools.partial(SubBatchNorm3d, num_splits=cfg.BN.NUM_SPLITS, **kwargs)
+        return functools.partial(
+            SubBatchNorm3d, num_splits=effective_num_splits(cfg), **kwargs
+        )
     raise NotImplementedError(f"Norm type {cfg.BN.NORM_TYPE} is not supported")

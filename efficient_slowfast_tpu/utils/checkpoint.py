@@ -167,15 +167,25 @@ def _load_orbax(path: str, state, load_opt: bool) -> Tuple[Any, int]:
             # fast path: zero-copy restore straight into the state's
             # dtypes/shardings (requires matching trees)
             payload = ckptr.restore(os.path.abspath(path), target)
-        except Exception:
+        except Exception as fast_err:
             # optimizer/solver changed between runs (legal, like the
-            # msgpack path): raw-restore and merge tolerantly
+            # msgpack path): raw-restore and merge tolerantly. Log the
+            # fast-path error first — if the raw restore ALSO fails (real
+            # corruption / orbax API break) the root cause isn't masked by
+            # the secondary merge error.
+            logger.info(
+                "orbax fast-path restore failed (%s: %s); falling back to "
+                "raw restore + tolerant merge",
+                type(fast_err).__name__, fast_err)
             payload = ckptr.restore(os.path.abspath(path))
             payload = dict(payload)
             payload["params"] = flax.serialization.from_state_dict(
                 state.params, payload["params"])
+            from ..ops.norm import adapt_bn_stats_to
+
             payload["batch_stats"] = flax.serialization.from_state_dict(
-                state.batch_stats, payload["batch_stats"])
+                state.batch_stats,
+                adapt_bn_stats_to(state.batch_stats, payload["batch_stats"]))
     new = state.replace(params=payload["params"],
                         batch_stats=payload["batch_stats"])
     if load_opt:
@@ -198,8 +208,11 @@ def load_checkpoint(path: str, state, load_opt: bool = True) -> Tuple[Any, int]:
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     params = flax.serialization.from_state_dict(state.params, payload["params"])
+    from ..ops.norm import adapt_bn_stats_to
+
     batch_stats = flax.serialization.from_state_dict(
-        state.batch_stats, payload["batch_stats"]
+        state.batch_stats,
+        adapt_bn_stats_to(state.batch_stats, payload["batch_stats"]),
     )
     new = state.replace(params=params, batch_stats=batch_stats)
     if load_opt and "opt_state" in payload:

@@ -263,3 +263,27 @@ def test_s2d_stem_gate_skips_even_temporal_kernel(monkeypatch):
         ti.conv3d_weight(tconv.weight.detach().numpy()))
     out = from_cl(m.apply(params, xj))
     np.testing.assert_allclose(out, ref, **TOL)
+
+
+def test_bn_variance_no_catastrophic_cancellation():
+    """Large-mean/small-std activations must not NaN the BN rsqrt: the
+    one-pass E[x²]−E[x]² variance cancels to NEGATIVE in float32 at
+    |mean|>>std (torch BN computes the stable form natively — observed here
+    as data-dependent NaN losses in sub-BN multigrid training)."""
+    import jax
+
+    rs = np.random.RandomState(0)
+    x = (1e3 + 0.01 * rs.randn(16, 4, 8, 8, 8)).astype(np.float32)
+    # the raw one-pass formula genuinely fails on this data (guards the
+    # test itself against becoming vacuous on future dtype changes)
+    fast = np.mean(x.astype(np.float32) ** 2, axis=(0, 1, 2, 3)) - \
+        np.mean(x, axis=(0, 1, 2, 3)) ** 2
+    assert fast.min() < 0
+
+    for mod in (SubBatchNorm3d(num_splits=4), BatchNorm3d()):
+        v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+        y, updated = mod.apply(v, jnp.asarray(x), train=True,
+                               mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(y)).all(), type(mod).__name__
+        for leaf in jax.tree_util.tree_leaves(updated):
+            assert np.isfinite(np.asarray(leaf)).all(), type(mod).__name__
