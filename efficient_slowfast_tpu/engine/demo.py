@@ -1,12 +1,15 @@
-"""Demo: sliding-window inference over a video file
+"""Demo: sliding-window inference over a video file OR a live frame stream
 (reference: tools/demo_net.py:26-399).
 
 The reference reads a webcam/file with cv2, buffers NUM_FRAMES×SAMPLING_RATE
-frames, packs pathways inline and overlays the top-k labels. This build uses
-the native decoder to stream consecutive windows from DEMO.DATA_SOURCE,
-runs the jitted forward per window, logs {sec, top-k labels, scores} json
-lines, and (optionally) writes an annotated mp4 via the native encoder when
-DEMO.OUTPUT_FILE is set.
+frames, packs pathways inline and overlays the top-k labels. This build
+iterates a window stream from DEMO.DATA_SOURCE — a video file decoded by the
+native decoder (selective seeks), or a live camera when the source is an
+integer index (cv2.VideoCapture, import-guarded; reference
+tools/demo_net.py:87-146,310-393) — runs the jitted forward per window,
+logs {sec, top-k labels, scores} json lines, and (optionally) writes an
+annotated mp4 via the native encoder when DEMO.OUTPUT_FILE is set. Tests
+inject synthetic streams through the ``stream``/``capture`` parameters.
 
 Detection mode (cfg.DETECTION.ENABLE): person boxes come from a
 DEMO.BOXES_FILE json — ``{"<window_idx>": [[x1,y1,x2,y2], ...]}`` in
@@ -36,9 +39,110 @@ from .state import create_train_state, make_forward
 logger = get_logger(__name__)
 
 
-def demo(cfg):
+def _is_camera_source(source) -> bool:
+    """True when DEMO.DATA_SOURCE names a live camera index, not a file
+    (reference demo_net.py:331: cv2.VideoCapture(int(source)))."""
+    return isinstance(source, int) or (
+        isinstance(source, str) and source.isdigit()
+    )
+
+
+def _resize_short(frames: np.ndarray, short: int) -> np.ndarray:
+    """Short-side resize a (T, H, W, 3) uint8 clip (PIL bilinear) — the
+    camera path's counterpart of the decoder's swscale short-side resize."""
+    from PIL import Image
+
+    t, h, w, _ = frames.shape
+    if min(h, w) == short:
+        return frames
+    if h <= w:
+        nh, nw = short, max(short, int(round(w * short / h)))
+    else:
+        nh, nw = int(round(h * short / w)), short
+    out = np.empty((t, nh, nw, 3), np.uint8)
+    for i in range(t):
+        out[i] = np.asarray(
+            Image.fromarray(frames[i]).resize((nw, nh), Image.BILINEAR)
+        )
+    return out
+
+
+def camera_window_stream(cfg, capture=None):
+    """Yield (widx, frames) RGB uint8 windows from a live capture source.
+
+    Buffers NUM_FRAMES×SAMPLING_RATE consecutive frames per window and
+    subsamples every SAMPLING_RATE-th, exactly like the reference's webcam
+    loop (tools/demo_net.py:156-172: seq_len buffer → index_select).
+    ``capture`` is anything with ``read() -> (ok, bgr_frame)`` (and
+    optionally ``release()``): cv2.VideoCapture in production, a synthetic
+    frame source in tests. BGR→RGB conversion matches cv2's channel order.
+    """
+    if capture is None:
+        try:
+            import cv2
+        except ImportError as e:  # cv2 is optional in this image
+            raise RuntimeError(
+                "DEMO.DATA_SOURCE is a camera index but cv2 is not "
+                "available; install opencv-python or use a file source"
+            ) from e
+        capture = cv2.VideoCapture(int(cfg.DEMO.DATA_SOURCE))
+    seq_len = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+    short = cfg.DATA.TEST_CROP_SIZE
+    widx = 0
+    buf = []
+    try:
+        while True:
+            ok, frame = capture.read()
+            if not ok:
+                break
+            buf.append(np.asarray(frame)[..., ::-1])  # BGR -> RGB
+            if len(buf) == seq_len:
+                clip = np.stack(buf[:: cfg.DATA.SAMPLING_RATE])
+                yield widx, _resize_short(clip, short)
+                widx += 1
+                buf = []
+    finally:
+        release = getattr(capture, "release", None)
+        if release is not None:
+            release()
+
+
+def file_window_stream(cfg):
+    """Yield (widx, frames) windows from a video file via the native
+    decoder's selective seek (one decode_clip per window)."""
+    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
+    fps = info["fps"] or 30.0
+    clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                  / cfg.DATA.TARGET_FPS)
+    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
+    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
+    for widx in range(num_windows):
+        frames = decoder.decode_clip(
+            cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
+            clip_idx=widx, num_clips=num_windows,
+            target_fps=cfg.DATA.TARGET_FPS, short_side=cfg.DATA.TEST_CROP_SIZE,
+            random_clip=False,
+        )
+        if frames is None:
+            continue
+        yield widx, frames
+
+
+def _source_fps(cfg) -> float:
+    if _is_camera_source(cfg.DEMO.DATA_SOURCE):
+        return 30.0
+    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+    return (info or {}).get("fps") or 30.0
+
+
+def demo(cfg, stream=None):
+    """Run the sliding-window demo; ``stream`` overrides the window source
+    (an iterable of (widx, (T,H,W,3) uint8 RGB frames)) for tests."""
     setup_logging(cfg.OUTPUT_DIR)
-    assert cfg.DEMO.DATA_SOURCE, "DEMO.DATA_SOURCE must point to a video file"
+    assert stream is not None or cfg.DEMO.DATA_SOURCE or (
+        isinstance(cfg.DEMO.DATA_SOURCE, int)
+    ), "DEMO.DATA_SOURCE must point to a video file or camera index"
 
     mesh = build_mesh(cfg)
     model = build_model(cfg)
@@ -57,12 +161,14 @@ def demo(cfg):
     fwd = make_forward(cfg, model)
     preprocess = make_test_preprocess(cfg)
 
-    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
-    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
-    fps = info["fps"] or 30.0
+    if stream is None:
+        fps = _source_fps(cfg)
+        stream = (camera_window_stream(cfg)
+                  if _is_camera_source(cfg.DEMO.DATA_SOURCE)
+                  else file_window_stream(cfg))
+    else:
+        fps = 30.0  # injected stream (tests): no container to probe
     clip_len_s = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE / cfg.DATA.TARGET_FPS
-    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
-    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
 
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
@@ -77,15 +183,7 @@ def demo(cfg):
         jax.device_put(np.asarray([1], np.int32), rep)))
     t0 = time.time()
     t_prev = t0
-    for widx in range(num_windows):
-        frames = decoder.decode_clip(
-            cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
-            clip_idx=widx, num_clips=num_windows,
-            target_fps=cfg.DATA.TARGET_FPS, short_side=short,
-            random_clip=False,
-        )
-        if frames is None:
-            continue
+    for widx, frames in stream:
         from ..data.datasets import fit_canvas
 
         canvas, width = fit_canvas(frames, short)

@@ -143,3 +143,87 @@ def test_demo_detection_vertical_video_box_mapping(tmp_path):
     # all decoded windows present in the output video (boxless ones too)
     info = decoder.probe(cfg.DEMO.OUTPUT_FILE)
     assert info["nb_frames"] > cfg.DATA.NUM_FRAMES  # more than one window
+
+
+class _FakeCapture:
+    """cv2.VideoCapture stand-in: serves BGR frames, tracks release()."""
+
+    def __init__(self, frames_bgr):
+        self._frames = list(frames_bgr)
+        self._pos = 0
+        self.released = False
+
+    def read(self):
+        if self._pos >= len(self._frames):
+            return False, None
+        f = self._frames[self._pos]
+        self._pos += 1
+        return True, f
+
+    def release(self):
+        self.released = True
+
+
+def test_camera_window_stream_buffers_and_subsamples():
+    """VERDICT r2 #7: live-source windows — NUM_FRAMES*SAMPLING_RATE frames
+    buffered per window, every SAMPLING_RATE-th kept, BGR->RGB converted,
+    short side resized, capture released at stream end (reference
+    tools/demo_net.py:156-172 buffer loop + :310-393 VideoReader)."""
+    from efficient_slowfast_tpu.engine.demo import camera_window_stream
+
+    cfg = get_cfg()
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+
+    # 20 frames of 48x64; frame i has B=i (-> R=i after conversion)
+    frames = []
+    for i in range(20):
+        f = np.zeros((48, 64, 3), np.uint8)
+        f[..., 0] = i          # BGR blue channel
+        f[..., 2] = 200        # BGR red channel
+        frames.append(f)
+    cap = _FakeCapture(frames)
+
+    windows = list(camera_window_stream(cfg, capture=cap))
+    # 20 frames / (4*2 per window) -> 2 full windows, remainder dropped
+    assert [w for w, _ in windows] == [0, 1]
+    for widx, clip in windows:
+        assert clip.shape == (4, 32, int(round(64 * 32 / 48)), 3)
+        # subsampling: window w holds source frames [8w, 8w+2, 8w+4, 8w+6];
+        # BGR->RGB moves the frame index (BGR channel 0) into RGB channel 2
+        got = [int(clip[i, 0, 0, 2]) for i in range(4)]
+        assert got == [8 * widx, 8 * widx + 2, 8 * widx + 4, 8 * widx + 6]
+        assert int(clip[0, 0, 0, 0]) == 200  # BGR red now RGB channel 0
+    assert cap.released
+
+
+def test_demo_from_injected_stream(tmp_path):
+    """The demo engine runs unchanged over an injected synthetic window
+    stream (the camera path minus cv2), preserving overlays + FPS."""
+    from efficient_slowfast_tpu.engine.demo import demo as run_demo
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.DATA_SOURCE = "0"  # camera index form; stream injected below
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.mp4")
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+
+    short = cfg.DATA.TEST_CROP_SIZE
+    rs = np.random.RandomState(0)
+    stream = [
+        (w, rs.randint(0, 255, (cfg.DATA.NUM_FRAMES, short,
+                                int(short * 4 / 3), 3), np.uint8))
+        for w in range(2)
+    ]
+    results = run_demo(cfg, stream=iter(stream))
+    assert len(results) == 2
+    for entry in results:
+        assert entry["_type"] == "demo_window"
+        assert len(entry["top_classes"]) == len(entry["scores"]) >= 1
+        assert entry["fps"] > 0
+    assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
+    assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
