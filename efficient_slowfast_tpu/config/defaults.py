@@ -318,6 +318,11 @@ _C.TPU.TAP_DECOMPOSE = False
 # output-pixel block packed into conv output channels (1.5x the fast stem
 # on v5e; exact rewrite, checkpoint-compatible).
 _C.TPU.STEM_D2S = False
+# Serve 1x1x1 convs as calibrated int8 matmuls during eval (int8 MXU path,
+# 1.4-1.8x the bf16 matmul at the pointwise shapes on v5e). Requires a
+# calibration pass (engine/quantize.py::calibrate_int8) to record per-layer
+# activation ranges; accuracy delta is reported by bench.py --mode int8.
+_C.TPU.INT8_EVAL = False
 # Use the Pallas flash-attention kernel on TPU for large token counts.
 _C.TPU.FLASH_ATTENTION = True
 # Token count above which attention uses the streaming (flash/chunked) path

@@ -181,6 +181,86 @@ class _S2DStemConv(nn.Module):
         return y
 
 
+class _Int8Conv1x1(nn.Module):
+    """Pointwise conv served as an int8×int8→int32 matmul (TPU.INT8_EVAL).
+
+    Measured on v5e: the int8 MXU path is 1.4–1.8× the bf16 matmul at the
+    model's 1×1-conv shapes AND halves the activation bytes both ways when
+    the quantize fuses into the producer's epilogue (PERF.md round 3) —
+    which requires a STATIC activation scale, not a dynamic maxabs (that
+    would add a full extra read pass). Scales live in the ``quant``
+    collection: running the model with ``mutable=["quant"]`` is the
+    calibration pass (records the running max|x| per layer); afterwards the
+    frozen scales serve. Weights quantize per-output-channel from the fp32
+    kernel in-graph (the kernel is tiny; XLA folds it). Parameter name and
+    shape are identical to the plain conv so checkpoints interchange.
+
+    Serving with an uncalibrated (zero) scale would silently zero the
+    activations — engine code must check ``quant_is_calibrated`` before
+    jitting an INT8_EVAL forward.
+    """
+
+    features: int
+    stride: Tuple[int, int, int]
+    use_bias: bool
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", msra_init_normal, (1, 1, 1, cin, co), jnp.float32
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
+                if self.use_bias else None)
+        act_max = self.variable("quant", "act_max",
+                                lambda: jnp.zeros((), jnp.float32))
+        st, sh, sw = self.stride
+        xs = x[:, ::st, ::sh, ::sw]  # strided 1x1x1 == slice + matmul
+        calibrating = self.is_mutable_collection("quant")
+        if calibrating or self.is_initializing():
+            if not self.is_initializing():
+                act_max.value = jnp.maximum(
+                    act_max.value,
+                    jnp.max(jnp.abs(xs)).astype(jnp.float32))
+            dt_ = self.dtype or x.dtype
+            y = jnp.einsum(
+                "bthwc,co->bthwo", xs.astype(dt_),
+                kernel[0, 0, 0].astype(dt_),
+                precision=conv_precision(self.dtype),
+            )
+        else:
+            s_act = act_max.value / 127.0
+            w_max = jnp.maximum(jnp.max(jnp.abs(kernel[0, 0, 0]), axis=0),
+                                1e-12)
+            s_w = w_max / 127.0
+            wq = jnp.clip(jnp.round(kernel[0, 0, 0] / s_w), -127, 127
+                          ).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(xs / s_act), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (s_act * s_w)
+            y = y.astype(self.dtype or x.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def quant_is_calibrated(variables) -> bool:
+    """True when every ``quant`` act_max recorded a positive range (i.e. a
+    calibration pass ran); serving INT8_EVAL without one zeroes the net."""
+    import jax
+
+    q = variables.get("quant") if hasattr(variables, "get") else None
+    if not q:
+        return False
+    leaves = jax.tree_util.tree_leaves(q)
+    return bool(leaves) and all(float(v) > 0.0 for v in leaves)
+
+
 class Conv3d(nn.Module):
     """Conv over (T, H, W) with torch-style symmetric integer padding.
 
@@ -211,6 +291,14 @@ class Conv3d(nn.Module):
         # experimentation.
         from .options import options
 
+        if (
+            options.int8_eval
+            and k == (1, 1, 1) and self.groups == 1 and d == (1, 1, 1)
+        ):
+            return _Int8Conv1x1(
+                features=self.features, stride=s, use_bias=self.use_bias,
+                dtype=self.dtype, name="conv",
+            )(x)
         if (
             options.stem_d2s
             and k[1] == k[2] == 7 and s == (1, 2, 2)

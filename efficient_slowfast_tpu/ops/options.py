@@ -20,6 +20,10 @@ class KernelOptions:
     # Rewrite stride-2 7x7 tiny-C_in stems as s2d(4) conv with the 4x4
     # output block packed into channels (ops/conv.py::_S2DStemConv).
     stem_d2s: bool = False
+    # Serve 1x1x1 convs as calibrated int8 matmuls (eval only; needs a
+    # calibration pass — see ops/conv.py::_Int8Conv1x1 and
+    # engine/quantize.py). Measured 1.4-1.8x on the pointwise shapes (v5e).
+    int8_eval: bool = False
     # Use the Pallas flash-attention kernel on TPU for large token counts.
     flash_attention: bool = True
     # Token count above which attention switches from the materialized
@@ -48,6 +52,7 @@ def configure(cfg) -> KernelOptions:
     new = KernelOptions(
         tap_decompose=bool(cfg.TPU.TAP_DECOMPOSE),
         stem_d2s=bool(cfg.TPU.STEM_D2S),
+        int8_eval=bool(cfg.TPU.INT8_EVAL),
         flash_attention=bool(cfg.TPU.FLASH_ATTENTION),
         flash_min_tokens=int(cfg.TPU.FLASH_MIN_TOKENS),
         flash_max_keys=int(cfg.TPU.FLASH_MAX_KEYS),

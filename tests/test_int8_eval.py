@@ -1,0 +1,114 @@
+"""TPU.INT8_EVAL: calibrated int8 pointwise-conv serving path
+(ops/conv.py::_Int8Conv1x1 + engine/quantize.py). No reference counterpart —
+a TPU-native serving addition (the fork serves fp16/fp32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.engine.quantize import calibrate_int8
+from efficient_slowfast_tpu.engine.state import create_train_state
+from efficient_slowfast_tpu.models import build_model
+from efficient_slowfast_tpu.ops.conv import (Conv3d, quant_is_calibrated)
+from efficient_slowfast_tpu.ops import options as opt_mod
+
+
+@pytest.fixture
+def int8_options():
+    old = opt_mod.options.int8_eval
+    opt_mod.options.int8_eval = True
+    yield
+    opt_mod.options.int8_eval = old
+
+
+def test_int8_conv1x1_matches_fp_within_quant_error(int8_options):
+    """Calibrate then serve: the int8 1x1x1 conv tracks the fp32 conv to
+    within the expected 8-bit error, including a spatially-strided
+    projection conv (slice + matmul form)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 8, 8, 16), jnp.float32)
+
+    for stride in ((1, 1, 1), (1, 2, 2)):
+        m = Conv3d(features=32, kernel_size=(1, 1, 1), stride=stride,
+                   padding=(0, 0, 0), use_bias=True, dtype=jnp.float32)
+        v = m.init(rng, x)
+        assert "quant" in v  # the collection exists from init
+        # fp reference from the SAME params with int8 dispatch off
+        opt_mod.options.int8_eval = False
+        m_fp = Conv3d(features=32, kernel_size=(1, 1, 1), stride=stride,
+                      padding=(0, 0, 0), use_bias=True, dtype=jnp.float32)
+        v_fp = m_fp.init(rng, x)
+        y_fp = m_fp.apply(v_fp, x)
+        opt_mod.options.int8_eval = True
+
+        # identical init (same rng/shapes) -> same kernel
+        np.testing.assert_allclose(
+            np.asarray(v["params"]["conv"]["kernel"]),
+            np.asarray(v_fp["params"]["conv"]["kernel"]))
+
+        # calibration pass records the range; serving uses it
+        _, upd = m.apply(v, x, mutable=["quant"])
+        v = {**v, "quant": upd["quant"]}
+        assert quant_is_calibrated(v)
+        y_q = m.apply(v, x)
+        assert y_q.shape == y_fp.shape
+        err = np.abs(np.asarray(y_q) - np.asarray(y_fp))
+        scale = np.abs(np.asarray(y_fp)).max()
+        assert err.max() / scale < 0.05, (stride, err.max(), scale)
+
+
+def test_int8_eval_full_model_calibrate_and_serve(int8_options):
+    """Full SlowFast flow: build with INT8_EVAL, calibrate via
+    engine.quantize, serve — logits stay close to the fp model's (cosine
+    similarity), and serving before calibration is detectable."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.MODEL.NUM_CLASSES = 10
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    rng = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(1)
+    inputs = [
+        jax.random.normal(key, (2, 2, 32, 32, 3), jnp.float32),
+        jax.random.normal(key, (2, 8, 32, 32, 3), jnp.float32),
+    ]
+
+    # fp baseline (int8 dispatch off, same init seed -> same params)
+    cfg.TPU.INT8_EVAL = False
+    model_fp = build_model(cfg)
+    state_fp, _ = create_train_state(cfg, model_fp, rng)
+    vars_fp = {"params": state_fp.params, "batch_stats": state_fp.batch_stats}
+    y_fp = np.asarray(model_fp.apply(vars_fp, inputs, train=False))
+
+    cfg.TPU.INT8_EVAL = True
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, rng)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    assert not quant_is_calibrated(variables)
+
+    variables = calibrate_int8(model, variables, [inputs])
+    assert quant_is_calibrated(variables)
+    y_q = np.asarray(model.apply(variables, inputs, train=False))
+
+    # head is softmax-then-mean: probabilities; int8 noise must not distort
+    cos = float(np.sum(y_fp * y_q)
+                / (np.linalg.norm(y_fp) * np.linalg.norm(y_q)))
+    assert cos > 0.999, cos
+    assert (np.argmax(y_q, -1) == np.argmax(y_fp, -1)).all()
