@@ -17,6 +17,8 @@ Extra modes (each prints its own JSON line; `--mode all` prints all):
                        SlowFastShuffleNetV2 w2.0 16x2 112² eval throughput
                        (the published headline efficient variant,
                        configs/Kinetics/SLOWFAST_SHUFFLENETV2_16x2_112.yaml)
+  --mode int8          TPU.INT8_EVAL flagship eval (calibrated int8
+                       pointwise convs) + accuracy proxy vs the fp forward
   --mode pipeline      eval loop fed by the synthetic loader through
                        prefetch_to_device (host decode/collate overlap on)
   --mode mfu           model FLOPs utilization of the eval forward from XLA
@@ -223,6 +225,92 @@ def bench_shufflenetv2(emit):
     return value
 
 
+def bench_int8(emit):
+    """TPU.INT8_EVAL: calibrated int8 pointwise convs (ops/conv.py) on the
+    flagship eval config. Reports throughput plus the accuracy proxy vs the
+    fp forward on the same inputs (top-1 agreement + logit cosine)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_slowfast_tpu.engine.quantize import calibrate_int8
+    from efficient_slowfast_tpu.engine.state import create_train_state, \
+        make_forward
+    from efficient_slowfast_tpu.models import build_model
+
+    import gc
+
+    on_cpu = jax.default_backend() == "cpu"
+    batch = 2 if on_cpu else 256
+    acc_batch = 2 if on_cpu else 32  # accuracy proxy on a small batch so the
+    # fp and int8 models never need HBM for batch-256 activations twice
+    rng = jax.random.PRNGKey(0)
+
+    # throughput FIRST, while the process memory profile matches the plain
+    # bench (on the tunneled dev chip buffer frees are async RPCs — piling
+    # models/executables up before the batch-256 run risks spurious OOM)
+    cfg = _flagship_cfg()
+    cfg.TPU.INT8_EVAL = True
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, rng)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    acc_inputs = _eval_inputs(cfg, acc_batch)
+    variables = calibrate_int8(model, variables, [acc_inputs])
+    fwd = make_forward(cfg, model)
+    y_q = np.asarray(jax.device_get(fwd(variables, acc_inputs)))
+
+    # the quantized graph holds int8 copies NEXT TO the bf16 residuals, so
+    # its peak HBM is higher than the fp forward's — fall back one batch
+    # step on OOM rather than fail (letting async frees settle first)
+    iters = 3 if on_cpu else 10
+    inputs = None
+    while True:
+        try:
+            inputs = _eval_inputs(cfg, batch)
+            _sync(fwd(variables, inputs))  # compile + warm
+            _sync(fwd(variables, inputs))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd(variables, inputs)
+            _sync(out)
+            dt = time.perf_counter() - t0
+            break
+        except Exception:
+            if on_cpu or batch <= 32:
+                raise
+            inputs = None
+            jax.clear_caches()
+            gc.collect()
+            time.sleep(10)  # let tunneled dealloc RPCs drain
+            batch //= 2
+    value = batch * iters / dt / jax.device_count()
+    del inputs
+    jax.clear_caches()
+    gc.collect()
+
+    # fp baseline forward for the accuracy proxy (same init seed ->
+    # identical weights)
+    cfg = _flagship_cfg()
+    model_fp = build_model(cfg)
+    state_fp, _ = create_train_state(cfg, model_fp, rng)
+    vars_fp = {"params": state_fp.params, "batch_stats": state_fp.batch_stats}
+    fwd_fp = make_forward(cfg, model_fp)
+    y_fp = np.asarray(jax.device_get(fwd_fp(vars_fp, acc_inputs)))
+    agree = float((y_q.argmax(-1) == y_fp.argmax(-1)).mean())
+    cos = float((y_fp * y_q).sum()
+                / max(np.linalg.norm(y_fp) * np.linalg.norm(y_q), 1e-12))
+    emit({
+        "metric": "SlowFast-R50 int8-pointwise eval fwd throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "top1_agreement_vs_fp": round(agree, 4),
+        "logit_cosine_vs_fp": round(cos, 6),
+    })
+    return value
+
+
 def bench_pipeline(cfg, emit):
     """Eval loop fed by the synthetic loader through prefetch_to_device —
     exercises host decode/collate → device transfer overlap end-to-end."""
@@ -300,6 +388,51 @@ def bench_pipeline(cfg, emit):
     return value
 
 
+def bench_train_mfu(cfg, emit, train_clips_per_sec=None):
+    """Train-step MFU: cost-analysis FLOPs of the full jitted train step
+    (fwd+bwd+opt, incl. remat recompute) over the measured step time."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_slowfast_tpu.engine.state import (create_train_state,
+                                                     make_train_step)
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg.DATA.TEST_CROP_SIZE = cfg.DATA.CROP_SIZE
+    cfg.TPU.REMAT = not on_cpu
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, tx)
+    batch = 2 if on_cpu else 64
+    s, t = cfg.DATA.CROP_SIZE, cfg.DATA.NUM_FRAMES
+    key = jax.random.PRNGKey(1)
+    inputs = [
+        jax.random.normal(key, (batch, t // cfg.SLOWFAST.ALPHA, s, s, 3),
+                          jnp.bfloat16),
+        jax.random.normal(key, (batch, t, s, s, 3), jnp.bfloat16),
+    ]
+    labels = jnp.zeros((batch,), jnp.int32)
+    # make_train_step returns a jitted callable; lower it directly
+    lowered = step.lower(state, inputs, labels, 0.1, key)
+    cost = lowered.compile().cost_analysis()
+    flops_per_clip = float(cost.get("flops", 0.0)) / batch
+
+    if train_clips_per_sec is None:
+        train_clips_per_sec = bench_train(cfg, lambda d: None)
+    achieved_tflops = train_clips_per_sec * flops_per_clip / 1e12
+    mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
+    emit({
+        "metric": "SlowFast-R50 train-step MFU (vs v5e 197 TF/s bf16 peak)",
+        "value": round(mfu * 100.0, 2),
+        "unit": "%",
+        "vs_baseline": None,
+        "gflops_per_clip": round(flops_per_clip / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+    })
+    return mfu
+
+
 def bench_mfu(cfg, emit, eval_clips_per_sec=None):
     """Model FLOPs utilization from XLA cost analysis of the eval fwd."""
     import functools
@@ -346,8 +479,8 @@ def bench_mfu(cfg, emit, eval_clips_per_sec=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
-                    choices=["eval", "train", "shufflenetv2", "pipeline",
-                             "mfu", "all"])
+                    choices=["eval", "train", "shufflenetv2", "int8",
+                             "pipeline", "mfu", "all"])
     args = ap.parse_args()
 
     import jax
@@ -381,16 +514,21 @@ def main():
         bench_train(_flagship_cfg(), emit)
     elif args.mode == "shufflenetv2":
         bench_shufflenetv2(emit)
+    elif args.mode == "int8":
+        bench_int8(emit)
     elif args.mode == "pipeline":
         bench_pipeline(_flagship_cfg(), emit)
     elif args.mode == "mfu":
         bench_mfu(_flagship_cfg(), emit)
+        bench_train_mfu(_flagship_cfg(), emit)
     else:
         clips = bench_eval(_flagship_cfg(), emit)
-        bench_train(_flagship_cfg(), emit)
+        tclips = bench_train(_flagship_cfg(), emit)
         bench_shufflenetv2(emit)
+        bench_int8(emit)
         bench_pipeline(_flagship_cfg(), emit)
         bench_mfu(_flagship_cfg(), emit, eval_clips_per_sec=clips)
+        bench_train_mfu(_flagship_cfg(), emit, train_clips_per_sec=tclips)
 
 
 if __name__ == "__main__":

@@ -311,6 +311,15 @@ _C.TPU.METRICS_PERIOD = 10
 # Rematerialize residual stages in backward (trade FLOPs for HBM; enables
 # larger train batches).
 _C.TPU.REMAT = False
+# With REMAT on, limit rematerialization to these stages (2..5); empty =
+# all stages. The early high-resolution stages hold most activation
+# memory — rematting only them keeps batch headroom without recomputing
+# s4/s5 in backward (PERF.md round-3 train sweep).
+_C.TPU.REMAT_STAGES = []
+# Log a per-module params/FLOPs table at model build (flax nn.tabulate over
+# XLA cost analysis; stand-in for the reference's ptflops per-layer stats,
+# reference: misc.py:153-162).
+_C.TPU.LOG_FLOPS_PER_LAYER = False
 # Decompose low-channel full-3D stem convs into per-temporal-tap 2D convs
 # (faster in isolation, loses end-to-end by breaking XLA fusion; opt-in).
 _C.TPU.TAP_DECOMPOSE = False

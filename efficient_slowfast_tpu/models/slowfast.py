@@ -71,11 +71,19 @@ def _stage_kwargs(cfg, idx):
     )
 
 
-def _stage_cls(cfg):
+def _stage_cls(cfg, stage_idx: int | None = None):
     """ResStage, optionally rematerialized (jax.checkpoint) so stage
-    activations are recomputed in backward — fits ~2x train batch."""
+    activations are recomputed in backward — fits ~2x train batch.
+
+    ``TPU.REMAT_STAGES`` (e.g. [2, 3]) limits remat to the named stages:
+    the early high-resolution stages hold most of the activation memory,
+    so rematting only them keeps the batch headroom while skipping the
+    backward recompute of s4/s5 (PERF.md round-3 train sweep).
+    """
     if cfg.TPU.REMAT:
-        return nn.remat(ResStage, static_argnums=(2,))
+        sel = list(cfg.TPU.REMAT_STAGES)
+        if stage_idx is None or not sel or stage_idx in sel:
+            return nn.remat(ResStage, static_argnums=(2,))
     return ResStage
 
 
@@ -90,7 +98,8 @@ class SlowFast(nn.Module):
         cfg = self.cfg
         dtype = get_compute_dtype(cfg)
         norm = get_norm(cfg)
-        Stage = _stage_cls(cfg)
+        def Stage(*a, name, **k):
+            return _stage_cls(cfg, int(name[1]))(*a, name=name, **k)
         pool_size = _POOL1[cfg.MODEL.ARCH]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         w = cfg.RESNET.WIDTH_PER_GROUP
@@ -193,7 +202,8 @@ class ResNet(nn.Module):
         cfg = self.cfg
         dtype = get_compute_dtype(cfg)
         norm = get_norm(cfg)
-        Stage = _stage_cls(cfg)
+        def Stage(*a, name, **k):
+            return _stage_cls(cfg, int(name[1]))(*a, name=name, **k)
         pool_size = _POOL1[cfg.MODEL.ARCH]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         w = cfg.RESNET.WIDTH_PER_GROUP

@@ -57,6 +57,26 @@ def get_flop_stats(model, cfg, example_inputs, train: bool = False) -> float:
     return float(cost.get("flops", 0.0)) if cost else 0.0
 
 
+def flops_per_layer_table(model, example_inputs, train: bool = False) -> str:
+    """Per-module params/FLOPs breakdown as a rendered table string.
+
+    flax ``nn.tabulate(compute_flops=True)`` is the TPU-native stand-in for
+    the reference's ptflops per-layer stat dump
+    (reference: misc.py:153-162 log_model_flops_per_layer) — per-module
+    forward FLOPs come from XLA cost analysis of each submodule, so the
+    numbers are the compiled truth rather than an op-count model.
+    """
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    tab = nn.tabulate(
+        model, {"params": rng, "dropout": rng},
+        compute_flops=True,
+        console_kwargs={"width": 160, "force_terminal": False},
+    )
+    return tab(example_inputs, train=train)
+
+
 def gpu_mem_usage() -> float:
     """Per-device live HBM bytes → GB (TPU equivalent of cuda mem stats)."""
     try:
@@ -86,6 +106,11 @@ def log_model_info(model, cfg, state, example_inputs):
         logger.info("Flops: %.2f G", flops / 1e9)
     except Exception as e:
         logger.warning("Flop analysis unavailable: %s", e)
+    if cfg.TPU.LOG_FLOPS_PER_LAYER:
+        try:
+            logger.info("\n%s", flops_per_layer_table(model, example_inputs))
+        except Exception as e:
+            logger.warning("Per-layer flop table unavailable: %s", e)
 
 
 def frozen_bn_stats_tree(batch_stats):

@@ -105,6 +105,46 @@ def test_lr_steps_policy():
     assert lr_policy.get_lr_at_epoch(cfg, 45.0) == pytest.approx(0.002)
 
 
+@pytest.mark.parametrize("stages", [[], [2], [2, 3]])
+def test_remat_stages_is_semantic_noop(rng, stages):
+    """TPU.REMAT_STAGES selects which ResStages rematerialize; remat is a
+    pure memory/FLOPs trade, so the train loss must be bit-identical to the
+    un-rematerialized step for every selection."""
+    def one_loss(remat, sel):
+        cfg = get_cfg()
+        cfg.MODEL.MODEL_NAME = "SlowFast"
+        cfg.MODEL.ARCH = "slowfast"
+        cfg.RESNET.DEPTH = 18
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.DATA.CROP_SIZE = 32
+        cfg.SLOWFAST.ALPHA = 4
+        cfg.SLOWFAST.BETA_INV = 8
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MODEL.DROPOUT_RATE = 0.0
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+        cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+        cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+        cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+        cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+        cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+        cfg.TPU.REMAT = remat
+        cfg.TPU.REMAT_STAGES = sel
+        model = build_model(cfg)
+        state, tx = create_train_state(cfg, model, rng)
+        step = make_train_step(cfg, model, tx)
+        inputs = [jax.random.normal(rng, x.shape)
+                  for x in pathway_inputs(cfg, 2)]
+        labels = jnp.arange(2) % 4
+        state, mets = step(state, inputs, labels, 0.01, rng)
+        state, mets = step(state, inputs, labels, 0.01, rng)
+        return float(mets["loss"])
+
+    base = one_loss(False, [])
+    got = one_loss(True, stages)
+    assert got == pytest.approx(base, rel=1e-6), (stages, base, got)
+
+
 def test_sgd_matches_torch_momentum(rng):
     """One SGD+momentum+wd step must match torch.optim.SGD semantics."""
     import torch

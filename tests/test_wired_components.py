@@ -125,3 +125,28 @@ def test_pack_pathway_middle_window():
     np.testing.assert_array_equal(
         np.asarray(slow).reshape(-1), [6, 7, 8, 9])
     assert fast.shape[1] == 16
+
+
+def test_flops_per_layer_table(rng):
+    """TPU.LOG_FLOPS_PER_LAYER: the nn.tabulate breakdown renders with a
+    flops column and covers the pathway stages (reference misc.py:153-162
+    ptflops per-layer stats)."""
+    from efficient_slowfast_tpu.utils.misc import flops_per_layer_table
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    x = [jnp.ones((1, t // cfg.SLOWFAST.ALPHA, s, s, 3)),
+         jnp.ones((1, t, s, s, 3))]
+    table = flops_per_layer_table(model, x)
+    assert "flops" in table
+    assert "s1" in table and "head" in table
