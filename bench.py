@@ -143,6 +143,9 @@ def bench_train(cfg, emit):
     on_cpu = jax.default_backend() == "cpu"
     cfg.DATA.TEST_CROP_SIZE = cfg.DATA.CROP_SIZE  # train runs at CROP_SIZE
     cfg.TPU.REMAT = not on_cpu  # stage remat fits 2x the batch (README table)
+    # s2-only remat keeps the batch-64 headroom while skipping the s3-s5
+    # backward recompute: 79.4 vs 75.6 clips/s remat-all (PERF.md r3 sweep)
+    cfg.TPU.REMAT_STAGES = [2]
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     state, tx = create_train_state(cfg, model, rng)
@@ -255,10 +258,22 @@ def bench_int8(emit):
     model = build_model(cfg)
     state, _ = create_train_state(cfg, model, rng)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    acc_inputs = _eval_inputs(cfg, acc_batch)
-    variables = calibrate_int8(model, variables, [acc_inputs])
-    fwd = make_forward(cfg, model)
-    y_q = np.asarray(jax.device_get(fwd(variables, acc_inputs)))
+    # the shared dev chip sees transient HBM pressure from other tenants —
+    # retry the calibration prologue with backoff before giving up
+    for attempt in range(5):
+        try:
+            acc_inputs = _eval_inputs(cfg, acc_batch)
+            variables_q = calibrate_int8(model, variables, [acc_inputs])
+            fwd = make_forward(cfg, model)
+            y_q = np.asarray(jax.device_get(fwd(variables_q, acc_inputs)))
+            break
+        except Exception:
+            if on_cpu or attempt == 4:
+                raise
+            jax.clear_caches()
+            gc.collect()
+            time.sleep(30)
+    variables = variables_q
 
     # the quantized graph holds int8 copies NEXT TO the bf16 residuals, so
     # its peak HBM is higher than the fp forward's — fall back one batch
@@ -401,6 +416,7 @@ def bench_train_mfu(cfg, emit, train_clips_per_sec=None):
     on_cpu = jax.default_backend() == "cpu"
     cfg.DATA.TEST_CROP_SIZE = cfg.DATA.CROP_SIZE
     cfg.TPU.REMAT = not on_cpu
+    cfg.TPU.REMAT_STAGES = [2]  # match bench_train's measured-best config
     model = build_model(cfg)
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
     step = make_train_step(cfg, model, tx)

@@ -348,6 +348,20 @@ class Framefolder(ClipDataset):
 
     LIST_FILES = {"train": "train.txt", "val": "val.txt", "test": "val.txt"}
 
+    def _list_file(self) -> str:
+        """Honor the wdf fork's explicit list-file keys when set
+        (DATA.PATH_TO_TRAIN_DATA_TXT / PATH_TO_VAL_DATA_TXT — the wheel/tired
+        configs point at absolute txt lists rather than a data dir; test
+        aliases to val as in the reference loaders)."""
+        explicit = (
+            self.cfg.DATA.PATH_TO_TRAIN_DATA_TXT
+            if self.mode == "train"
+            else self.cfg.DATA.PATH_TO_VAL_DATA_TXT
+        )
+        if explicit:
+            return explicit
+        return super()._list_file()
+
     def _decode_clip(self, index: int, temporal_idx: int):
         path = self._path_to_videos[index]
         if path.startswith("synthetic://"):
@@ -431,6 +445,19 @@ class Wheel(Framefolder):
 @DATASET_REGISTRY.register()
 class Tired(Framefolder):
     """Fatigue/eye-state dataset alias (reference: datasets/tired*)."""
+
+
+@DATASET_REGISTRY.register()
+class Wheel_gray(Framefolder):
+    """Gray-style wheel dataset — ``DATASET: Wheel_GRAY`` in the reference
+    TIRED configs (build.py capitalize() → "Wheel_gray"). Forces the
+    gray-style decode pipeline (reference: decoder.py
+    wheel_decoder_gray_style) regardless of DATA.GRAY_STYLE."""
+
+    def __init__(self, cfg, mode, num_retries=10):
+        cfg = cfg.clone() if hasattr(cfg, "clone") else cfg
+        cfg.DATA.GRAY_STYLE = True
+        super().__init__(cfg, mode, num_retries)
 
 
 @DATASET_REGISTRY.register()

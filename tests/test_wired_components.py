@@ -150,3 +150,38 @@ def test_flops_per_layer_table(rng):
     table = flops_per_layer_table(model, x)
     assert "flops" in table
     assert "s1" in table and "head" in table
+
+
+def test_wheel_gray_alias_and_explicit_list_paths(tmp_path):
+    """DATASET wheel_gray (reference configs' Wheel_GRAY) forces the
+    gray-style pipeline, and DATA.PATH_TO_TRAIN/VAL_DATA_TXT point the
+    Framefolder at absolute list files (wdf fork contract)."""
+    d = tmp_path / "anywhere" / "vid0"
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(1)
+    for i in range(8):
+        Image.fromarray(
+            rs.randint(0, 255, (40, 60, 3), dtype=np.uint8)
+        ).save(d / f"f{i:04d}.jpg")
+    train_txt = tmp_path / "train_list.txt"
+    val_txt = tmp_path / "val_list.txt"
+    train_txt.write_text(f"{d} 2\n")
+    val_txt.write_text(f"{d} 0\n")
+
+    cfg = get_cfg()
+    # no PATH_TO_DATA_DIR at all — only the explicit txt keys
+    cfg.DATA.PATH_TO_TRAIN_DATA_TXT = str(train_txt)
+    cfg.DATA.PATH_TO_VAL_DATA_TXT = str(val_txt)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 40]
+    assert not cfg.DATA.GRAY_STYLE
+    ds = build_dataset("wheel_gray", cfg, "train")
+    item = ds[0]
+    f = item["frames"]
+    # gray pipeline ran despite DATA.GRAY_STYLE being off in the base cfg
+    assert np.abs(f[..., 0].astype(int) - f[..., 1].astype(int)).max() <= 1
+    assert ds._labels[0] == 2
+    # val split resolves through PATH_TO_VAL_DATA_TXT
+    ds_val = build_dataset("wheel_gray", cfg, "val")
+    assert ds_val._labels[0] == 0
