@@ -92,7 +92,10 @@ _C.MODEL.ARCH = "slowfast"
 _C.MODEL.MODEL_NAME = "SlowFast"
 _C.MODEL.NUM_CLASSES = 400
 _C.MODEL.LOSS_FUNC = "cross_entropy"
-_C.MODEL.SINGLE_PATHWAY_ARCH = ["c2d", "i3d", "slow", "fast"]
+# Reference custom_config.py:32 ships ["c2d", "i3d", "slow", "fast"], which
+# makes its own c2/C2D_NOPOOL_8x8_R50.yaml unbuildable; the nopool archs are
+# listed upstream and our model tables support them, so include them here.
+_C.MODEL.SINGLE_PATHWAY_ARCH = ["c2d", "c2d_nopool", "i3d", "i3d_nopool", "slow", "fast"]
 _C.MODEL.MULTI_PATHWAY_ARCH = ["slowfast"]
 _C.MODEL.DROPOUT_RATE = 0.5
 _C.MODEL.FC_INIT_STD = 0.01
