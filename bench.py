@@ -538,13 +538,26 @@ def main():
         bench_mfu(_flagship_cfg(), emit)
         bench_train_mfu(_flagship_cfg(), emit)
     else:
-        clips = bench_eval(_flagship_cfg(), emit)
-        tclips = bench_train(_flagship_cfg(), emit)
-        bench_shufflenetv2(emit)
-        bench_int8(emit)
-        bench_pipeline(_flagship_cfg(), emit)
-        bench_mfu(_flagship_cfg(), emit, eval_clips_per_sec=clips)
-        bench_train_mfu(_flagship_cfg(), emit, train_clips_per_sec=tclips)
+        # One failing mode (e.g. co-tenant RESOURCE_EXHAUSTED on the shared
+        # dev chip) must not take down the rest of the sweep: emit an error
+        # line for it and keep going.
+        def guarded(name, fn):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — survey mode
+                emit({"metric": name, "error": f"{type(e).__name__}: {e}"
+                      [:300]})
+                return None
+
+        clips = guarded("eval", lambda: bench_eval(_flagship_cfg(), emit))
+        tclips = guarded("train", lambda: bench_train(_flagship_cfg(), emit))
+        guarded("shufflenetv2", lambda: bench_shufflenetv2(emit))
+        guarded("int8", lambda: bench_int8(emit))
+        guarded("pipeline", lambda: bench_pipeline(_flagship_cfg(), emit))
+        guarded("mfu", lambda: bench_mfu(
+            _flagship_cfg(), emit, eval_clips_per_sec=clips))
+        guarded("train_mfu", lambda: bench_train_mfu(
+            _flagship_cfg(), emit, train_clips_per_sec=tclips))
 
 
 if __name__ == "__main__":

@@ -333,8 +333,12 @@ _C.TPU.STEM_D2S = False
 # Serve 1x1x1 convs as calibrated int8 matmuls during eval (int8 MXU path,
 # 1.4-1.8x the bf16 matmul at the pointwise shapes on v5e). Requires a
 # calibration pass (engine/quantize.py::calibrate_int8) to record per-layer
-# activation ranges; accuracy delta is reported by bench.py --mode int8.
+# activation ranges; the test/demo engines auto-calibrate on the first
+# INT8_CALIB_BATCHES batches. Serving-only: incompatible with TRAIN.ENABLE.
+# Accuracy delta is reported by bench.py --mode int8.
 _C.TPU.INT8_EVAL = False
+# Test-loader batches used for the automatic activation-range calibration.
+_C.TPU.INT8_CALIB_BATCHES = 1
 # Use the Pallas flash-attention kernel on TPU for large token counts.
 _C.TPU.FLASH_ATTENTION = True
 # Token count above which attention uses the streaming (flash/chunked) path
@@ -376,5 +380,10 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
     # reference kinetics.py:174-176 semantics), so accept both.
     assert cfg.TEST.NUM_SPATIAL_CROPS in (1, 3)
     assert cfg.SHARD_ID < cfg.NUM_SHARDS
+    # int8 is a serving path: the quant collection is neither trained nor
+    # checkpointed by the train loop (ops/conv.py::_Int8Conv1x1).
+    assert not (cfg.TPU.INT8_EVAL and cfg.TRAIN.ENABLE), (
+        "TPU.INT8_EVAL is eval/serving-only; set TRAIN.ENABLE False"
+    )
     assert cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH + cfg.MODEL.MULTI_PATHWAY_ARCH
     return cfg

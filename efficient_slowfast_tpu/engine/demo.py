@@ -47,24 +47,30 @@ def _is_camera_source(source) -> bool:
     )
 
 
-def _resize_short(frames: np.ndarray, short: int) -> np.ndarray:
-    """Short-side resize a (T, H, W, 3) uint8 clip (PIL bilinear) — the
-    camera path's counterpart of the decoder's swscale short-side resize."""
-    from PIL import Image
+def _open_camera(cfg):
+    try:
+        import cv2
+    except ImportError as e:  # cv2 is optional in this image
+        raise RuntimeError(
+            "DEMO.DATA_SOURCE is a camera index but cv2 is not "
+            "available; install opencv-python or use a file source"
+        ) from e
+    return cv2.VideoCapture(int(cfg.DEMO.DATA_SOURCE))
 
-    t, h, w, _ = frames.shape
-    if min(h, w) == short:
-        return frames
-    if h <= w:
-        nh, nw = short, max(short, int(round(w * short / h)))
-    else:
-        nh, nw = int(round(h * short / w)), short
-    out = np.empty((t, nh, nw, 3), np.uint8)
-    for i in range(t):
-        out[i] = np.asarray(
-            Image.fromarray(frames[i]).resize((nw, nh), Image.BILINEAR)
-        )
-    return out
+
+def _capture_fps(capture) -> float:
+    """Source frame rate of an open capture (cv2 CAP_PROP_FPS; 0/NaN on
+    cameras that don't report one → 30)."""
+    get = getattr(capture, "get", None)
+    fps = 0.0
+    if get is not None:
+        try:
+            import cv2
+
+            fps = float(get(cv2.CAP_PROP_FPS) or 0.0)
+        except Exception:
+            fps = float(get(5) or 0.0)  # CAP_PROP_FPS == 5
+    return fps if fps and np.isfinite(fps) else 30.0
 
 
 def camera_window_stream(cfg, capture=None):
@@ -78,16 +84,8 @@ def camera_window_stream(cfg, capture=None):
     frame source in tests. BGR→RGB conversion matches cv2's channel order.
     """
     if capture is None:
-        try:
-            import cv2
-        except ImportError as e:  # cv2 is optional in this image
-            raise RuntimeError(
-                "DEMO.DATA_SOURCE is a camera index but cv2 is not "
-                "available; install opencv-python or use a file source"
-            ) from e
-        capture = cv2.VideoCapture(int(cfg.DEMO.DATA_SOURCE))
+        capture = _open_camera(cfg)
     seq_len = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
-    short = cfg.DATA.TEST_CROP_SIZE
     widx = 0
     buf = []
     try:
@@ -97,8 +95,9 @@ def camera_window_stream(cfg, capture=None):
                 break
             buf.append(np.asarray(frame)[..., ::-1])  # BGR -> RGB
             if len(buf) == seq_len:
-                clip = np.stack(buf[:: cfg.DATA.SAMPLING_RATE])
-                yield widx, _resize_short(clip, short)
+                # raw frames: the demo loop's fit_canvas does the short-side
+                # resize (same bilinear as the decoder path)
+                yield widx, np.stack(buf[:: cfg.DATA.SAMPLING_RATE])
                 widx += 1
                 buf = []
     finally:
@@ -107,10 +106,12 @@ def camera_window_stream(cfg, capture=None):
             release()
 
 
-def file_window_stream(cfg):
+def file_window_stream(cfg, info=None):
     """Yield (widx, frames) windows from a video file via the native
-    decoder's selective seek (one decode_clip per window)."""
-    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+    decoder's selective seek (one decode_clip per window). ``info`` reuses
+    an existing ``decoder.probe`` result (one container open per run)."""
+    if info is None:
+        info = decoder.probe(cfg.DEMO.DATA_SOURCE)
     assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
     fps = info["fps"] or 30.0
     clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
@@ -127,13 +128,6 @@ def file_window_stream(cfg):
         if frames is None:
             continue
         yield widx, frames
-
-
-def _source_fps(cfg) -> float:
-    if _is_camera_source(cfg.DEMO.DATA_SOURCE):
-        return 30.0
-    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
-    return (info or {}).get("fps") or 30.0
 
 
 def demo(cfg, stream=None):
@@ -162,10 +156,15 @@ def demo(cfg, stream=None):
     preprocess = make_test_preprocess(cfg)
 
     if stream is None:
-        fps = _source_fps(cfg)
-        stream = (camera_window_stream(cfg)
-                  if _is_camera_source(cfg.DEMO.DATA_SOURCE)
-                  else file_window_stream(cfg))
+        if _is_camera_source(cfg.DEMO.DATA_SOURCE):
+            capture = _open_camera(cfg)
+            fps = _capture_fps(capture)
+            stream = camera_window_stream(cfg, capture)
+        else:
+            info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+            assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
+            fps = info["fps"] or 30.0
+            stream = file_window_stream(cfg, info)
     else:
         fps = 30.0  # injected stream (tests): no container to probe
     clip_len_s = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE / cfg.DATA.TARGET_FPS
@@ -173,14 +172,17 @@ def demo(cfg, stream=None):
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
-    # warm up the compiled preprocess+forward on a dummy window so the
-    # first window's FPS overlay measures inference, not compilation
-    _warm = np.zeros((cfg.DATA.NUM_FRAMES, short, short * 2, 3), np.uint8)
     rep = replicated(mesh)
-    _ = fwd(variables, preprocess(
-        jax.device_put(_warm[None], rep),
-        jax.device_put(np.asarray([short], np.int32), rep),
-        jax.device_put(np.asarray([1], np.int32), rep)))
+    if not cfg.TPU.INT8_EVAL:
+        # warm up the compiled preprocess+forward on a dummy window so the
+        # first window's FPS overlay measures inference, not compilation.
+        # (int8 path: the uncalibrated forward can't run — it calibrates on
+        # the first real window instead, whose FPS includes the compile)
+        _warm = np.zeros((cfg.DATA.NUM_FRAMES, short, short * 2, 3), np.uint8)
+        _ = fwd(variables, preprocess(
+            jax.device_put(_warm[None], rep),
+            jax.device_put(np.asarray([short], np.int32), rep),
+            jax.device_put(np.asarray([1], np.int32), rep)))
     t0 = time.time()
     t_prev = t0
     for widx, frames in stream:
@@ -194,6 +196,13 @@ def demo(cfg, stream=None):
         wb = jax.device_put(np.asarray([width], np.int32), rep)
         sidx = jax.device_put(np.asarray([1], np.int32), rep)  # center crop
         inputs = preprocess(fb, wb, sidx)
+        if cfg.TPU.INT8_EVAL and "quant" not in variables:
+            from .quantize import calibrate_int8
+
+            variables = calibrate_int8(model, variables, [inputs])
+            logger.info(
+                "TPU.INT8_EVAL: calibrated activation ranges on window %d",
+                widx)
         preds = np.asarray(jax.device_get(fwd(variables, inputs)))[0]
         topk = np.argsort(-preds)[: cfg.TENSORBOARD.HISTOGRAM.TOPK or 3]
         t_now = time.time()
@@ -255,16 +264,19 @@ def _demo_detection(cfg, model, variables, mesh, labels):
     rep = replicated(mesh)
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
-    # warm up the compiled preprocess+forward so window 0's FPS overlay
-    # measures inference, not compilation (mirrors the classification path)
     from ..data.datasets import canvas_width
 
     _wc = canvas_width(short)
-    _ = fwd(variables,
-            preprocess(jax.device_put(
-                np.zeros((1, cfg.DATA.NUM_FRAMES, short, _wc, 3), np.uint8),
-                rep)),
-            jax.device_put(np.zeros((1, MAX_BOXES, 4), np.float32), rep))
+    if not cfg.TPU.INT8_EVAL:
+        # warm up the compiled preprocess+forward so window 0's FPS overlay
+        # measures inference, not compilation (mirrors the classification
+        # path; int8 calibrates on the first real window instead)
+        _ = fwd(variables,
+                preprocess(jax.device_put(
+                    np.zeros((1, cfg.DATA.NUM_FRAMES, short, _wc, 3),
+                             np.uint8),
+                    rep)),
+                jax.device_put(np.zeros((1, MAX_BOXES, 4), np.float32), rep))
     t0 = time.time()
     t_prev = t0
     for widx in range(num_windows):
@@ -305,6 +317,15 @@ def _demo_detection(cfg, model, variables, mesh, labels):
         px[:n, 3] = np.clip(nboxes[:n, 3] * nh - yoff, 0, short)
         inputs = preprocess(jax.device_put(canvas[None], rep))
         rois = jax.device_put(px[None], rep)
+        if cfg.TPU.INT8_EVAL and "quant" not in variables:
+            from .quantize import calibrate_int8
+            from .state import _flatten_rois
+
+            variables = calibrate_int8(
+                model, variables, [(inputs, _flatten_rois(rois))])
+            logger.info(
+                "TPU.INT8_EVAL: calibrated activation ranges on window %d",
+                widx)
         scores = np.asarray(jax.device_get(fwd(variables, inputs, rois)))[:n]
         t_now = time.time()
         win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)

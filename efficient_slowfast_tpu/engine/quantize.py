@@ -25,7 +25,8 @@ def calibrate_int8(model, variables, batches):
       model: a model built with cfg.TPU.INT8_EVAL=True.
       variables: {"params", "batch_stats", ...} from create_train_state or a
         checkpoint load (the "quant" collection is created/updated here).
-      batches: iterable of model inputs (each a [slow, fast] pathway list).
+      batches: iterable of model inputs — each a [slow, fast] pathway list,
+        or an (inputs, boxes) tuple for detection models.
 
     Returns the variables dict with a populated ``quant`` collection.
     Raises if no quantized layer recorded a range (e.g. the model was built
@@ -34,14 +35,15 @@ def calibrate_int8(model, variables, batches):
     variables = dict(variables)
 
     @jax.jit
-    def step(variables, inputs):
-        _, updated = model.apply(variables, inputs, train=False,
+    def step(variables, *args):
+        _, updated = model.apply(variables, *args, train=False,
                                  mutable=["quant"])
         return updated["quant"]
 
     n = 0
     for inputs in batches:
-        variables["quant"] = step(variables, inputs)
+        args = inputs if isinstance(inputs, tuple) else (inputs,)
+        variables["quant"] = step(variables, *args)
         n += 1
     if n == 0:
         raise ValueError("calibrate_int8 needs at least one batch")
@@ -51,3 +53,42 @@ def calibrate_int8(model, variables, batches):
             "built with cfg.TPU.INT8_EVAL=True?"
         )
     return variables
+
+
+def calibrate_for_test(cfg, model, variables, mesh):
+    """Auto-calibration used by the test/serving engines: record activation
+    ranges on the first ``cfg.TPU.INT8_CALIB_BATCHES`` batches of a fresh
+    test loader (its clips are only read, not scored — the eval loop runs
+    its own loader from the start, so every ensemble stays complete).
+
+    Returns the populated ``quant`` collection.
+    """
+    from ..data.loader import construct_loader, prefetch_to_device
+    from ..parallel.mesh import shard_batch
+
+    n = max(1, int(cfg.TPU.INT8_CALIB_BATCHES))
+    loader = construct_loader(cfg, "test")
+    batches = []
+    if cfg.DETECTION.ENABLE:
+        from ..data.preprocess import make_detection_preprocess
+        from .state import _flatten_rois
+
+        preprocess = make_detection_preprocess(cfg)
+        for batch in loader:
+            inputs = preprocess(shard_batch(mesh, batch["frames"]))
+            rois = _flatten_rois(shard_batch(mesh, batch["boxes"]))
+            batches.append((inputs, rois))
+            if len(batches) >= n:
+                break
+    else:
+        from ..data.preprocess import make_test_preprocess
+
+        preprocess = jax.jit(make_test_preprocess(cfg))
+        for batch in prefetch_to_device(
+            loader, mesh, keys=("frames", "width", "spatial_idx"), depth=1,
+        ):
+            batches.append(preprocess(
+                batch["frames"], batch["width"], batch["spatial_idx"]))
+            if len(batches) >= n:
+                break
+    return calibrate_int8(model, variables, batches)["quant"]

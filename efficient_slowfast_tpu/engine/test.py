@@ -54,7 +54,7 @@ def gather_across_hosts(*arrays):
     return tuple(out)
 
 
-def perform_test(cfg, state, model, loader, meter, mesh):
+def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
     preprocess = make_test_preprocess(cfg)
     fwd = make_forward(cfg, model)
     # one jitted program: XLA folds the conv-layout change of the packed
@@ -62,6 +62,8 @@ def perform_test(cfg, state, model, loader, meter, mesh):
     # copy between the two dispatches
     run = jax.jit(lambda v, f, w, s: fwd(v, preprocess(f, w, s)))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if quant is not None:
+        variables["quant"] = quant
     from ..data.loader import prefetch_to_device
 
     meter.iter_tic()
@@ -102,8 +104,20 @@ def test(cfg):
 
     loader = construct_loader(cfg, "test")
 
+    quant = None
+    if cfg.TPU.INT8_EVAL:
+        # serving path: record per-layer activation ranges on the first
+        # calibration batches before jitting the int8 forward (serving an
+        # uncalibrated scale would zero the net — ops/conv.py)
+        from .quantize import calibrate_for_test
+
+        logger.info("TPU.INT8_EVAL: calibrating activation ranges on %d "
+                    "test batch(es)", max(1, cfg.TPU.INT8_CALIB_BATCHES))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        quant = calibrate_for_test(cfg, model, variables, mesh)
+
     if cfg.DETECTION.ENABLE:
-        return _test_detection(cfg, state, model, loader, mesh)
+        return _test_detection(cfg, state, model, loader, mesh, quant=quant)
 
     num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     num_items = len(loader.dataset)
@@ -119,11 +133,11 @@ def test(cfg):
         ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
         topk=cfg.TRAIN.TOPK,
     )
-    stats = perform_test(cfg, state, model, loader, meter, mesh)
+    stats = perform_test(cfg, state, model, loader, meter, mesh, quant=quant)
     return stats
 
 
-def _test_detection(cfg, state, model, loader, mesh):
+def _test_detection(cfg, state, model, loader, mesh, quant=None):
     """AVA detection test: full-dataset mAP (reference test_net.py detection)."""
     from ..data.preprocess import make_detection_preprocess
     from ..utils.meters import AVAMeter
@@ -134,6 +148,8 @@ def _test_detection(cfg, state, model, loader, mesh):
     meter = AVAMeter(len(loader), cfg, mode="test")
     meter.video_idx_to_name = getattr(loader.dataset, "_video_idx_to_name", None)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if quant is not None:
+        variables["quant"] = quant
     for cur_iter, batch in enumerate(loader):
         inputs = preprocess(shard_batch(mesh, batch["frames"]))
         boxes = shard_batch(mesh, batch["boxes"])

@@ -41,9 +41,13 @@ _LOSSES = {
 }
 
 # Unreduced variants for per-sample masking (detection's padded-box mean).
+# "bce_logit" is deliberately absent: the RoI head applies MODEL.HEAD_ACT in
+# train AND eval (reference head_helper.py:126-129), so detection preds are
+# already probabilities — a with-logits loss would silently compute
+# sigmoid(sigmoid(x)) with vanishing gradients. Configs asking for it raise
+# at build time instead.
 _ELEMENTWISE_LOSSES = {
     "bce": bce_elementwise,
-    "bce_logit": optax.sigmoid_binary_cross_entropy,
 }
 
 

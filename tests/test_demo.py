@@ -167,8 +167,9 @@ class _FakeCapture:
 def test_camera_window_stream_buffers_and_subsamples():
     """VERDICT r2 #7: live-source windows — NUM_FRAMES*SAMPLING_RATE frames
     buffered per window, every SAMPLING_RATE-th kept, BGR->RGB converted,
-    short side resized, capture released at stream end (reference
-    tools/demo_net.py:156-172 buffer loop + :310-393 VideoReader)."""
+    capture released at stream end (reference tools/demo_net.py:156-172
+    buffer loop + :310-393 VideoReader). Frames stay raw-sized: the demo
+    loop's fit_canvas does the short-side resize, same as the file path."""
     from efficient_slowfast_tpu.engine.demo import camera_window_stream
 
     cfg = get_cfg()
@@ -189,7 +190,7 @@ def test_camera_window_stream_buffers_and_subsamples():
     # 20 frames / (4*2 per window) -> 2 full windows, remainder dropped
     assert [w for w, _ in windows] == [0, 1]
     for widx, clip in windows:
-        assert clip.shape == (4, 32, int(round(64 * 32 / 48)), 3)
+        assert clip.shape == (4, 48, 64, 3)
         # subsampling: window w holds source frames [8w, 8w+2, 8w+4, 8w+6];
         # BGR->RGB moves the frame index (BGR channel 0) into RGB channel 2
         got = [int(clip[i, 0, 0, 2]) for i in range(4)]

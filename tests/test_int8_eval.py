@@ -112,3 +112,53 @@ def test_int8_eval_full_model_calibrate_and_serve(int8_options):
                 / (np.linalg.norm(y_fp) * np.linalg.norm(y_q)))
     assert cos > 0.999, cos
     assert (np.argmax(y_q, -1) == np.argmax(y_fp, -1)).all()
+
+
+def test_int8_eval_test_engine_auto_calibrates(tmp_path):
+    """The serving engines calibrate automatically: `engine.test.test` with
+    TPU.INT8_EVAL on runs a TPU.INT8_CALIB_BATCHES-batch calibration pass
+    (engine/quantize.py::calibrate_for_test) before the 30-view loop, and
+    the full ensemble still completes (TestMeter raises otherwise).
+    TRAIN.ENABLE must be off — the cfg validator rejects the combination
+    because the quant collection is neither trained nor checkpointed."""
+    from efficient_slowfast_tpu.config.defaults import assert_and_infer_cfg
+    from efficient_slowfast_tpu.engine.test import test as run_test
+
+    cfg = get_cfg()
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.TEST.BATCH_SIZE = 16
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.CROP_SIZE = 32
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 10
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_CALIB_BATCHES = 2
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg = assert_and_infer_cfg(cfg)
+
+    stats = run_test(cfg)
+    assert "top1_acc" in stats
+    assert 0.0 <= float(stats["top1_acc"]) <= 100.0
+
+    # the validator rejects int8 serving combined with training
+    cfg.TRAIN.ENABLE = True
+    with pytest.raises(AssertionError, match="INT8_EVAL"):
+        assert_and_infer_cfg(cfg)
