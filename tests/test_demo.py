@@ -228,3 +228,42 @@ def test_demo_from_injected_stream(tmp_path):
         assert entry["fps"] > 0
     assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
     assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
+
+
+def test_demo_int8_lazy_calibration(tmp_path, monkeypatch):
+    """TPU.INT8_EVAL in the demo: the first window triggers exactly one
+    activation-range calibration (engine/demo.py lazy path), and every
+    window still produces valid scores."""
+    from efficient_slowfast_tpu.engine import quantize as qmod
+    from efficient_slowfast_tpu.engine.demo import demo as run_demo
+
+    calls = []
+    real = qmod.calibrate_int8
+    monkeypatch.setattr(
+        qmod, "calibrate_int8",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.DATA_SOURCE = "0"
+    cfg.DEMO.OUTPUT_FILE = ""
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    short = cfg.DATA.TEST_CROP_SIZE
+    rs = np.random.RandomState(3)
+    stream = [
+        (w, rs.randint(0, 255, (cfg.DATA.NUM_FRAMES, short,
+                                int(short * 4 / 3), 3), np.uint8))
+        for w in range(3)
+    ]
+    results = run_demo(cfg, stream=iter(stream))
+    assert len(calls) == 1  # calibrated once, on the first window only
+    assert len(results) == 3
+    for entry in results:
+        assert len(entry["top_classes"]) == len(entry["scores"]) >= 1
+        assert all(np.isfinite(s) for s in entry["scores"])
