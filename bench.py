@@ -19,6 +19,8 @@ Extra modes (each prints its own JSON line; `--mode all` prints all):
                        configs/Kinetics/SLOWFAST_SHUFFLENETV2_16x2_112.yaml)
   --mode int8          TPU.INT8_EVAL flagship eval (calibrated int8
                        pointwise convs) + accuracy proxy vs the fp forward
+  --mode int8_spatial  TPU.INT8_SPATIAL on top: the k>1 convs quantized
+                       too (the whole conv stack int8)
   --mode pipeline      eval loop fed by the synthetic loader through
                        prefetch_to_device (host decode/collate overlap on)
   --mode mfu           model FLOPs utilization of the eval forward from XLA
@@ -228,10 +230,12 @@ def bench_shufflenetv2(emit):
     return value
 
 
-def bench_int8(emit):
+def bench_int8(emit, spatial=False):
     """TPU.INT8_EVAL: calibrated int8 pointwise convs (ops/conv.py) on the
     flagship eval config. Reports throughput plus the accuracy proxy vs the
-    fp forward on the same inputs (top-1 agreement + logit cosine)."""
+    fp forward on the same inputs (top-1 agreement + logit cosine).
+    ``spatial=True`` additionally quantizes the k>1 convs
+    (TPU.INT8_SPATIAL — the whole conv stack int8)."""
     import numpy as np
 
     import jax
@@ -255,6 +259,7 @@ def bench_int8(emit):
     # models/executables up before the batch-256 run risks spurious OOM)
     cfg = _flagship_cfg()
     cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_SPATIAL = spatial
     model = build_model(cfg)
     state, _ = create_train_state(cfg, model, rng)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -316,7 +321,8 @@ def bench_int8(emit):
     cos = float((y_fp * y_q).sum()
                 / max(np.linalg.norm(y_fp) * np.linalg.norm(y_q), 1e-12))
     emit({
-        "metric": "SlowFast-R50 int8-pointwise eval fwd throughput",
+        "metric": ("SlowFast-R50 int8-full eval fwd throughput" if spatial
+                   else "SlowFast-R50 int8-pointwise eval fwd throughput"),
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_CLIPS_PER_SEC, 3),
@@ -496,7 +502,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
                     choices=["eval", "train", "shufflenetv2", "int8",
-                             "pipeline", "mfu", "all"])
+                             "int8_spatial", "pipeline", "mfu", "all"])
     args = ap.parse_args()
 
     import jax
@@ -532,6 +538,8 @@ def main():
         bench_shufflenetv2(emit)
     elif args.mode == "int8":
         bench_int8(emit)
+    elif args.mode == "int8_spatial":
+        bench_int8(emit, spatial=True)
     elif args.mode == "pipeline":
         bench_pipeline(_flagship_cfg(), emit)
     elif args.mode == "mfu":
@@ -553,6 +561,7 @@ def main():
         tclips = guarded("train", lambda: bench_train(_flagship_cfg(), emit))
         guarded("shufflenetv2", lambda: bench_shufflenetv2(emit))
         guarded("int8", lambda: bench_int8(emit))
+        guarded("int8_spatial", lambda: bench_int8(emit, spatial=True))
         guarded("pipeline", lambda: bench_pipeline(_flagship_cfg(), emit))
         guarded("mfu", lambda: bench_mfu(
             _flagship_cfg(), emit, eval_clips_per_sec=clips))

@@ -339,6 +339,11 @@ _C.TPU.STEM_D2S = False
 _C.TPU.INT8_EVAL = False
 # Test-loader batches used for the automatic activation-range calibration.
 _C.TPU.INT8_CALIB_BATCHES = 1
+# Extend INT8_EVAL to the spatial (k>1) convs as well — the slow pathway's
+# bandwidth-bound 3x3 stack (PERF.md). Bigger byte cut, bigger accuracy
+# risk than the pointwise-only path; measured by bench.py --mode int8.
+# No effect unless TPU.INT8_EVAL is also set.
+_C.TPU.INT8_SPATIAL = False
 # Use the Pallas flash-attention kernel on TPU for large token counts.
 _C.TPU.FLASH_ATTENTION = True
 # Token count above which attention uses the streaming (flash/chunked) path

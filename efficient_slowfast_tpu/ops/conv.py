@@ -249,6 +249,73 @@ class _Int8Conv1x1(nn.Module):
         return y
 
 
+class _Int8ConvSpatial(nn.Module):
+    """Spatial (k>1) conv served as an int8×int8→int32 conv
+    (TPU.INT8_SPATIAL, requires TPU.INT8_EVAL).
+
+    Extends the pointwise int8 path (:class:`_Int8Conv1x1`) to the
+    spatial convs where the slow pathway's HBM stream lives (PERF.md:
+    s2–s5 3×3s run at 550–660 GiB/s, bandwidth-bound): int8 activations
+    halve every conv operand read, and the v5e MXU runs int8 at 2× the
+    bf16 rate. Same quant recipe — per-tensor activation scale calibrated
+    through the mutable ``quant`` collection, per-output-channel weight
+    scales folded in-graph from the fp32 kernel. Parameter name and shape
+    match the plain conv so checkpoints interchange. Accuracy risk is
+    larger than the pointwise path (3×3s feed the residual trunk), which
+    is why it is a separate opt-in measured by ``bench.py --mode int8``.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    use_bias: bool
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", msra_init_normal, (*self.kernel_size, cin, co),
+            jnp.float32,
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
+                if self.use_bias else None)
+        act_max = self.variable("quant", "act_max",
+                                lambda: jnp.zeros((), jnp.float32))
+        pad = [(pi, pi) for pi in self.padding]
+        calibrating = self.is_mutable_collection("quant")
+        if calibrating or self.is_initializing():
+            if not self.is_initializing():
+                act_max.value = jnp.maximum(
+                    act_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            dt_ = self.dtype or x.dtype
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt_), kernel.astype(dt_), self.stride, pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                precision=conv_precision(self.dtype),
+            )
+        else:
+            s_act = act_max.value / 127.0
+            w_max = jnp.maximum(
+                jnp.max(jnp.abs(kernel), axis=(0, 1, 2, 3)), 1e-12)
+            s_w = w_max / 127.0
+            wq = jnp.clip(jnp.round(kernel / s_w), -127, 127
+                          ).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(x / s_act), -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, self.stride, pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (s_act * s_w)
+            y = y.astype(self.dtype or x.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def quant_is_calibrated(variables) -> bool:
     """True when every ``quant`` act_max recorded a positive range (i.e. a
     calibration pass ran); serving INT8_EVAL without one zeroes the net."""
@@ -298,6 +365,14 @@ class Conv3d(nn.Module):
             return _Int8Conv1x1(
                 features=self.features, stride=s, use_bias=self.use_bias,
                 dtype=self.dtype, name="conv",
+            )(x)
+        if (
+            options.int8_spatial
+            and k != (1, 1, 1) and self.groups == 1 and d == (1, 1, 1)
+        ):
+            return _Int8ConvSpatial(
+                features=self.features, kernel_size=k, stride=s, padding=p,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv",
             )(x)
         if (
             options.stem_d2s

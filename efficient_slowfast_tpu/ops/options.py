@@ -24,6 +24,10 @@ class KernelOptions:
     # calibration pass — see ops/conv.py::_Int8Conv1x1 and
     # engine/quantize.py). Measured 1.4-1.8x on the pointwise shapes (v5e).
     int8_eval: bool = False
+    # Extend int8 serving to the spatial (k>1) convs too
+    # (ops/conv.py::_Int8ConvSpatial). Separate opt-in: bigger byte cut,
+    # bigger accuracy risk. Requires int8_eval.
+    int8_spatial: bool = False
     # Use the Pallas flash-attention kernel on TPU for large token counts.
     flash_attention: bool = True
     # Token count above which attention switches from the materialized
@@ -53,6 +57,7 @@ def configure(cfg) -> KernelOptions:
         tap_decompose=bool(cfg.TPU.TAP_DECOMPOSE),
         stem_d2s=bool(cfg.TPU.STEM_D2S),
         int8_eval=bool(cfg.TPU.INT8_EVAL),
+        int8_spatial=bool(cfg.TPU.INT8_EVAL and cfg.TPU.INT8_SPATIAL),
         flash_attention=bool(cfg.TPU.FLASH_ATTENTION),
         flash_min_tokens=int(cfg.TPU.FLASH_MIN_TOKENS),
         flash_max_keys=int(cfg.TPU.FLASH_MAX_KEYS),

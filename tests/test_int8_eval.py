@@ -59,6 +59,44 @@ def test_int8_conv1x1_matches_fp_within_quant_error(int8_options):
         assert err.max() / scale < 0.05, (stride, err.max(), scale)
 
 
+def test_int8_spatial_conv_matches_fp_within_quant_error(int8_options):
+    """TPU.INT8_SPATIAL: the k>1 int8 conv (padding + stride + temporal
+    kernel) tracks the fp32 conv within 8-bit error."""
+    old = opt_mod.options.int8_spatial
+    opt_mod.options.int8_spatial = True
+    try:
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (2, 4, 10, 10, 8), jnp.float32)
+        for kernel, stride, padding in (
+            ((1, 3, 3), (1, 1, 1), (0, 1, 1)),
+            ((3, 3, 3), (1, 2, 2), (1, 1, 1)),
+        ):
+            m = Conv3d(features=16, kernel_size=kernel, stride=stride,
+                       padding=padding, use_bias=True, dtype=jnp.float32)
+            v = m.init(rng, x)
+            assert "quant" in v
+            opt_mod.options.int8_spatial = False
+            m_fp = Conv3d(features=16, kernel_size=kernel, stride=stride,
+                          padding=padding, use_bias=True, dtype=jnp.float32)
+            v_fp = m_fp.init(rng, x)
+            y_fp = m_fp.apply(v_fp, x)
+            opt_mod.options.int8_spatial = True
+            np.testing.assert_allclose(
+                np.asarray(v["params"]["conv"]["kernel"]),
+                np.asarray(v_fp["params"]["conv"]["kernel"]))
+
+            _, upd = m.apply(v, x, mutable=["quant"])
+            v = {**v, "quant": upd["quant"]}
+            assert quant_is_calibrated(v)
+            y_q = m.apply(v, x)
+            assert y_q.shape == y_fp.shape
+            err = np.abs(np.asarray(y_q) - np.asarray(y_fp))
+            scale = np.abs(np.asarray(y_fp)).max()
+            assert err.max() / scale < 0.05, (kernel, err.max(), scale)
+    finally:
+        opt_mod.options.int8_spatial = old
+
+
 def test_int8_eval_full_model_calibrate_and_serve(int8_options):
     """Full SlowFast flow: build with INT8_EVAL, calibrate via
     engine.quantize, serve — logits stay close to the fp model's (cosine
@@ -112,6 +150,24 @@ def test_int8_eval_full_model_calibrate_and_serve(int8_options):
                 / (np.linalg.norm(y_fp) * np.linalg.norm(y_q)))
     assert cos > 0.999, cos
     assert (np.argmax(y_q, -1) == np.argmax(y_fp, -1)).all()
+
+    # INT8_SPATIAL leg: every conv quantized; more layers -> looser bound
+    cfg.TPU.INT8_SPATIAL = True
+    try:
+        model_s = build_model(cfg)
+        state_s, _ = create_train_state(cfg, model_s, rng)
+        vars_s = {"params": state_s.params,
+                  "batch_stats": state_s.batch_stats}
+        assert not quant_is_calibrated(vars_s)
+        vars_s = calibrate_int8(model_s, vars_s, [inputs])
+        y_s = np.asarray(model_s.apply(vars_s, inputs, train=False))
+        cos_s = float(np.sum(y_fp * y_s)
+                      / (np.linalg.norm(y_fp) * np.linalg.norm(y_s)))
+        assert cos_s > 0.995, cos_s
+        assert (np.argmax(y_s, -1) == np.argmax(y_fp, -1)).mean() >= 0.5
+    finally:
+        cfg.TPU.INT8_SPATIAL = False
+        opt_mod.options.int8_spatial = False
 
 
 def test_int8_eval_test_engine_auto_calibrates(tmp_path):
