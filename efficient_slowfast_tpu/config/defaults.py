@@ -291,6 +291,10 @@ _C.DEMO.LABEL_FILE_PATH = ""
 _C.DEMO.DATA_SOURCE = ""
 _C.DEMO.DISPLAY_WIDTH = 0
 _C.DEMO.DISPLAY_HEIGHT = 0
+# Show annotated frames live via cv2.imshow (Esc quits). The reference
+# displays whenever no output file is set (demo_net.py:71-75); here it is
+# an explicit opt-in so headless runs never pop windows.
+_C.DEMO.DISPLAY = False
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_CFG = ""
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_WEIGHTS = ""
 _C.DEMO.OUTPUT_FILE = ""

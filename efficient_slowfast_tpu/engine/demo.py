@@ -55,7 +55,39 @@ def _open_camera(cfg):
             "DEMO.DATA_SOURCE is a camera index but cv2 is not "
             "available; install opencv-python or use a file source"
         ) from e
-    return cv2.VideoCapture(int(cfg.DEMO.DATA_SOURCE))
+    cap = cv2.VideoCapture(int(cfg.DEMO.DATA_SOURCE))
+    # requested capture resolution (reference demo_net.py:36-41)
+    if cfg.DEMO.DISPLAY_WIDTH > 0 and cfg.DEMO.DISPLAY_HEIGHT > 0:
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, cfg.DEMO.DISPLAY_WIDTH)
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.DEMO.DISPLAY_HEIGHT)
+    return cap
+
+
+def _make_display(cfg):
+    """Live on-screen sink: (show, close) where ``show(frames_rgb)`` renders
+    a (T, H, W, 3) uint8 clip and returns False when the user hit Esc
+    (reference demo_net.py:71-75 displays via cv2.imshow when no output
+    file is set + :393-397 Esc-quit; here it is the explicit opt-in
+    ``DEMO.DISPLAY`` so headless runs never pop windows)."""
+    if not cfg.DEMO.DISPLAY:
+        return None, lambda: None
+    try:
+        import cv2
+    except ImportError as e:
+        raise RuntimeError(
+            "DEMO.DISPLAY requires cv2; install opencv-python or write to "
+            "DEMO.OUTPUT_FILE instead"
+        ) from e
+
+    def show(frames: np.ndarray) -> bool:
+        for f in frames:
+            cv2.imshow("efficient-slowfast", np.ascontiguousarray(
+                f[..., ::-1]))  # RGB -> cv2's BGR
+            if cv2.waitKey(1) == 27:  # Esc quits
+                return False
+        return True
+
+    return show, cv2.destroyAllWindows
 
 
 def _capture_fps(capture) -> float:
@@ -130,9 +162,10 @@ def file_window_stream(cfg, info=None):
         yield widx, frames
 
 
-def demo(cfg, stream=None):
+def demo(cfg, stream=None, display=None):
     """Run the sliding-window demo; ``stream`` overrides the window source
-    (an iterable of (widx, (T,H,W,3) uint8 RGB frames)) for tests."""
+    (an iterable of (widx, (T,H,W,3) uint8 RGB frames)) and ``display``
+    the DEMO.DISPLAY sink (a ``show(frames)->bool`` callable) for tests."""
     setup_logging(cfg.OUTPUT_DIR)
     assert stream is not None or cfg.DEMO.DATA_SOURCE or (
         isinstance(cfg.DEMO.DATA_SOURCE, int)
@@ -151,7 +184,8 @@ def demo(cfg, stream=None):
             labels = [line.strip() for line in f if line.strip()]
 
     if cfg.DETECTION.ENABLE:
-        return _demo_detection(cfg, model, variables, mesh, labels)
+        return _demo_detection(cfg, model, variables, mesh, labels,
+                               display=display)
     fwd = make_forward(cfg, model)
     preprocess = make_test_preprocess(cfg)
 
@@ -172,6 +206,9 @@ def demo(cfg, stream=None):
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    close_display = lambda: None  # noqa: E731
+    if display is None:
+        display, close_display = _make_display(cfg)
     rep = replicated(mesh)
     if not cfg.TPU.INT8_EVAL:
         # warm up the compiled preprocess+forward on a dummy window so the
@@ -220,8 +257,14 @@ def demo(cfg, stream=None):
         }
         log_json_stats(entry)
         results.append(entry)
-        if annotated is not None:
-            annotated.append(_annotate(frames, entry))
+        if annotated is not None or display is not None:
+            drawn = _annotate(frames, entry)
+            if annotated is not None:
+                annotated.append(drawn)
+            if display is not None and not display(drawn):
+                logger.info("Display quit (Esc) at window %d", widx)
+                break
+    close_display()
     fps_measured = len(results) * cfg.DATA.NUM_FRAMES / max(time.time() - t0, 1e-6)
     logger.info("Demo done: %d windows, %.1f frames/s", len(results), fps_measured)
 
@@ -232,7 +275,7 @@ def demo(cfg, stream=None):
     return results
 
 
-def _demo_detection(cfg, model, variables, mesh, labels):
+def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     """Sliding-window action detection with precomputed person boxes
     (reference: tools/demo_net.py detection branch, detectron2 replaced by
     a DEMO.BOXES_FILE json of normalized [x1,y1,x2,y2] boxes per window)."""
@@ -264,6 +307,9 @@ def _demo_detection(cfg, model, variables, mesh, labels):
     rep = replicated(mesh)
     results = []
     annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    close_display = lambda: None  # noqa: E731
+    if display is None:
+        display, close_display = _make_display(cfg)
     from ..data.datasets import canvas_width
 
     _wc = canvas_width(short)
@@ -347,9 +393,15 @@ def _demo_detection(cfg, model, variables, mesh, labels):
         }
         log_json_stats(entry)
         results.append(entry)
-        if annotated is not None:
+        if annotated is not None or display is not None:
             # draw on the canvas (the coordinate frame the boxes live in)
-            annotated.append(_annotate_boxes(canvas, entry))
+            drawn = _annotate_boxes(canvas, entry)
+            if annotated is not None:
+                annotated.append(drawn)
+            if display is not None and not display(drawn):
+                logger.info("Display quit (Esc) at window %d", widx)
+                break
+    close_display()
     fps_measured = (len(results) * cfg.DATA.NUM_FRAMES
                     / max(time.time() - t0, 1e-6))
     logger.info("Demo done: %d detection windows, %.1f frames/s",

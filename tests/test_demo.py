@@ -230,6 +230,42 @@ def test_demo_from_injected_stream(tmp_path):
     assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
 
 
+def test_demo_display_sink_and_esc_quit(tmp_path):
+    """DEMO.DISPLAY live view (reference demo_net.py:71-75,393-397): each
+    window's annotated frames reach the display sink, and the sink
+    returning False (Esc) stops the demo early."""
+    from efficient_slowfast_tpu.engine.demo import demo as run_demo
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.DATA_SOURCE = "0"
+    cfg.DEMO.OUTPUT_FILE = ""
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+
+    short = cfg.DATA.TEST_CROP_SIZE
+    rs = np.random.RandomState(4)
+    stream = [
+        (w, rs.randint(0, 255, (cfg.DATA.NUM_FRAMES, short,
+                                int(short * 4 / 3), 3), np.uint8))
+        for w in range(4)
+    ]
+
+    shown = []
+
+    def show(frames):
+        shown.append(frames.shape)
+        return len(shown) < 2  # "Esc" during the second window
+
+    results = run_demo(cfg, stream=iter(stream), display=show)
+    assert len(shown) == 2  # window 0 shown, window 1 hit Esc
+    assert len(results) == 2  # no windows processed after the quit
+    # annotated clips keep the window's frame count and channel order
+    assert all(s[0] == cfg.DATA.NUM_FRAMES and s[-1] == 3 for s in shown)
+
+
 def test_demo_int8_lazy_calibration(tmp_path, monkeypatch):
     """TPU.INT8_EVAL in the demo: the first window triggers exactly one
     activation-range calibration (engine/demo.py lazy path), and every
