@@ -510,19 +510,14 @@ def main():
     try:  # persistent compile cache makes repeat bench runs near-instant
         # Key the default dir by the host CPU feature set: XLA:CPU loads
         # cross-machine AOT cache entries with only a warning, and after a
-        # VM migration the stale blobs can execute garbage (see
-        # tests/conftest.py::_machine_cache_dir).
-        import hashlib
-        try:
-            with open("/proc/cpuinfo") as f:
-                _flags = next((l for l in f if l.startswith("flags")), "")
-        except OSError:
-            _flags = ""
-        _dir = "/tmp/jax_bench_cache-" + \
-            hashlib.sha1(_flags.encode()).hexdigest()[:10]
+        # VM migration the stale blobs can execute garbage (shared scheme:
+        # utils/env.py::machine_cache_dir).
+        from efficient_slowfast_tpu.utils.env import machine_cache_dir
+
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", _dir),
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           machine_cache_dir("/tmp/jax_bench_cache")),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -394,5 +394,18 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
     assert not (cfg.TPU.INT8_EVAL and cfg.TRAIN.ENABLE), (
         "TPU.INT8_EVAL is eval/serving-only; set TRAIN.ENABLE False"
     )
+    # two mutually exclusive serving engines: the fused fp engine bypasses
+    # model.apply entirely, so combining them would calibrate int8 and then
+    # silently serve fp (results labeled int8 that aren't)
+    assert not (cfg.TPU.INT8_EVAL and cfg.TPU.FUSED_EVAL), (
+        "TPU.INT8_EVAL and TPU.FUSED_EVAL are mutually exclusive serving "
+        "paths; pick one"
+    )
+    # remat stage names must exist (stages are s2..s5); a typo here would
+    # silently leave remat off and OOM at the documented batch sizes
+    assert set(cfg.TPU.REMAT_STAGES) <= {2, 3, 4, 5}, (
+        f"TPU.REMAT_STAGES {cfg.TPU.REMAT_STAGES} out of range: stages are "
+        "2..5 (s2-s5)"
+    )
     assert cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH + cfg.MODEL.MULTI_PATHWAY_ARCH
     return cfg

@@ -189,18 +189,21 @@ def demo(cfg, stream=None, display=None):
     fwd = make_forward(cfg, model)
     preprocess = make_test_preprocess(cfg)
 
-    if stream is None:
-        if _is_camera_source(cfg.DEMO.DATA_SOURCE):
-            capture = _open_camera(cfg)
-            fps = _capture_fps(capture)
-            stream = camera_window_stream(cfg, capture)
-        else:
+    # Playback rate of the annotated output: each window keeps NUM_FRAMES
+    # frames spanning NUM_FRAMES*SAMPLING_RATE source frames, so real-time
+    # playback is source_rate/SAMPLING_RATE — the file path resamples the
+    # source to TARGET_FPS in the decoder, the camera path subsamples the
+    # capture stream directly.
+    if stream is None and _is_camera_source(cfg.DEMO.DATA_SOURCE):
+        capture = _open_camera(cfg)
+        out_fps = _capture_fps(capture) / cfg.DATA.SAMPLING_RATE
+        stream = camera_window_stream(cfg, capture)
+    else:
+        if stream is None:
             info = decoder.probe(cfg.DEMO.DATA_SOURCE)
             assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
-            fps = info["fps"] or 30.0
             stream = file_window_stream(cfg, info)
-    else:
-        fps = 30.0  # injected stream (tests): no container to probe
+        out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
     clip_len_s = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE / cfg.DATA.TARGET_FPS
 
     short = cfg.DATA.TEST_CROP_SIZE
@@ -270,7 +273,8 @@ def demo(cfg, stream=None, display=None):
 
     if annotated:
         out = np.concatenate(annotated, axis=0)
-        decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
+        decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out,
+                                 fps=max(int(round(out_fps)), 1))
         logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
     return results
 
@@ -408,8 +412,12 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
                 len(results), fps_measured)
     if annotated is not None:
         if annotated:
+            # windows hold NUM_FRAMES frames spanning
+            # NUM_FRAMES*SAMPLING_RATE source frames at TARGET_FPS
+            out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
             out = np.concatenate(annotated, axis=0)
-            decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out, fps=int(fps))
+            decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out,
+                                     fps=max(int(round(out_fps)), 1))
             logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
         else:
             logger.warning(

@@ -37,7 +37,10 @@ from ..utils import logging as logging_util
 logger = logging_util.get_logger(__name__)
 
 BN_EPS = 1e-5
-_FALLBACK_WARNED = False
+# shapes whose fused kernel failed and fell back — warn once PER SHAPE so a
+# kernel regression that breaks every block stays visible in the log rather
+# than hiding behind a single process-wide warning
+_FALLBACK_SHAPES = set()
 
 
 def supports(cfg) -> bool:
@@ -133,14 +136,17 @@ def _block(x, params, stats, name, stride, dtype, use_pallas):
                 # at trace time — degrade to the XLA reference path rather
                 # than crash the opt-in FUSED_EVAL run. (A Mosaic failure at
                 # XLA-compile time is outside this trace-time guard; the
-                # supports() gate + _plan envelope is what prevents those.)
-                global _FALLBACK_WARNED
-                if not _FALLBACK_WARNED:
-                    _FALLBACK_WARNED = True
+                # supports() gate + _plan envelope is what prevents those.
+                # The kernel's own correctness is covered directly by
+                # tests/test_fused_bottleneck.py, so a regression cannot
+                # hide behind this fallback in the suite.)
+                shape_key = (xn.shape, wa.shape, str(xn.dtype))
+                if shape_key not in _FALLBACK_SHAPES:
+                    _FALLBACK_SHAPES.add(shape_key)
                     logger.warning(
-                        "fused_bottleneck unavailable (%s: %s); using the "
-                        "XLA reference block for this and further shapes",
-                        type(e).__name__, e)
+                        "fused_bottleneck unavailable for %s (%s: %s); "
+                        "using the XLA reference block for this shape",
+                        shape_key, type(e).__name__, e)
                 y = bottleneck_reference(*args)
         else:
             y = bottleneck_reference(*args)

@@ -166,6 +166,12 @@ def make_forward(cfg, model) -> Callable:
     conv fusion on v5e (PERF.md); kept as a tested opt-in.
     """
     if cfg.TPU.FUSED_EVAL:
+        # the fused engine never calls model.apply, so it cannot serve the
+        # int8 path — refuse rather than silently serving fp as "int8"
+        # (assert_and_infer_cfg rejects the combination for CLI runs; this
+        # guards direct library use)
+        assert not cfg.TPU.INT8_EVAL, (
+            "TPU.FUSED_EVAL and TPU.INT8_EVAL are mutually exclusive")
         from .inference import make_fused_eval_forward, supports
 
         if supports(cfg):

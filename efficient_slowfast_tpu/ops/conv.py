@@ -360,7 +360,8 @@ class Conv3d(nn.Module):
 
         if (
             options.int8_eval
-            and k == (1, 1, 1) and self.groups == 1 and d == (1, 1, 1)
+            and k == (1, 1, 1) and p == (0, 0, 0)  # slice+matmul form
+            and self.groups == 1 and d == (1, 1, 1)
         ):
             return _Int8Conv1x1(
                 features=self.features, stride=s, use_bias=self.use_bias,
@@ -368,7 +369,10 @@ class Conv3d(nn.Module):
             )(x)
         if (
             options.int8_spatial
-            and k != (1, 1, 1) and self.groups == 1 and d == (1, 1, 1)
+            # everything the pointwise gate above didn't take (k>1, or the
+            # rare padded 1x1 that needs a real conv)
+            and not (k == (1, 1, 1) and p == (0, 0, 0))
+            and self.groups == 1 and d == (1, 1, 1)
         ):
             return _Int8ConvSpatial(
                 features=self.features, kernel_size=k, stride=s, padding=p,

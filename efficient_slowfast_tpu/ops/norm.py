@@ -25,6 +25,7 @@ import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -163,24 +164,28 @@ def aggregate_sub_bn_stats(batch_stats: Any) -> Any:
     (split dim over "data"), so each leaf op carries a collective — many
     concurrent eager multi-device dispatches can interleave their
     rendezvous and deadlock (seen on the CPU backend); a single compiled
-    program also costs one dispatch instead of ~2 per BN layer.
+    program also costs one dispatch instead of ~2 per BN layer. The jitted
+    walkers are module-level so repeat calls (every sub-BN epoch; per-node
+    from adapt_bn_stats_to) hit the jit cache instead of recompiling.
     """
-    import jax
+    return _aggregate_fix(_as_plain_dict(batch_stats))
 
-    def fix(tree):
-        if isinstance(tree, dict):
-            keys = set(tree.keys())
-            if {"split_mean", "split_var", "mean", "var"} <= keys:
-                sm, sv = tree["split_mean"], tree["split_var"]
-                mean = jnp.mean(sm, axis=0)
-                var = jnp.mean(sv, axis=0) + jnp.mean(jnp.square(sm - mean), axis=0)
-                new = dict(tree)
-                new["mean"], new["var"] = mean, var
-                return new
-            return {k: fix(v) for k, v in tree.items()}
-        return tree
 
-    return jax.jit(fix)(_as_plain_dict(batch_stats))
+def _aggregate_walk(tree):
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if {"split_mean", "split_var", "mean", "var"} <= keys:
+            sm, sv = tree["split_mean"], tree["split_var"]
+            mean = jnp.mean(sm, axis=0)
+            var = jnp.mean(sv, axis=0) + jnp.mean(jnp.square(sm - mean), axis=0)
+            new = dict(tree)
+            new["mean"], new["var"] = mean, var
+            return new
+        return {k: _aggregate_walk(v) for k, v in tree.items()}
+    return tree
+
+
+_aggregate_fix = jax.jit(_aggregate_walk)
 
 
 def _as_plain_dict(tree):
@@ -203,26 +208,27 @@ def normal_to_sub_bn(batch_stats: Any, num_splits: int) -> Any:
     Existing split stats with a different leading dim are re-tiled from the
     aggregate (NUM_SPLITS changed between two sub-BN phases).
     """
-
-    def fix(tree):
-        if isinstance(tree, dict):
-            keys = set(tree.keys())
-            if {"mean", "var"} <= keys:
-                mean, var = tree["mean"], tree["var"]
-                sm, sv = tree.get("split_mean"), tree.get("split_var")
-                if sm is None or sm.shape[0] != num_splits:
-                    sm = jnp.tile(mean[None], (num_splits, 1))
-                    sv = jnp.tile(var[None], (num_splits, 1))
-                new = dict(tree)
-                new["split_mean"], new["split_var"] = sm, sv
-                return new
-            return {k: fix(v) for k, v in tree.items()}
-        return tree
-
-    import jax
-
     # one jitted program — see aggregate_sub_bn_stats on why not eager
-    return jax.jit(fix)(_as_plain_dict(batch_stats))
+    return _normal_to_sub_fix(_as_plain_dict(batch_stats), num_splits)
+
+
+def _normal_to_sub_walk(tree, num_splits):
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if {"mean", "var"} <= keys:
+            mean, var = tree["mean"], tree["var"]
+            sm, sv = tree.get("split_mean"), tree.get("split_var")
+            if sm is None or sm.shape[0] != num_splits:
+                sm = jnp.tile(mean[None], (num_splits, 1))
+                sv = jnp.tile(var[None], (num_splits, 1))
+            new = dict(tree)
+            new["split_mean"], new["split_var"] = sm, sv
+            return new
+        return {k: _normal_to_sub_walk(v, num_splits) for k, v in tree.items()}
+    return tree
+
+
+_normal_to_sub_fix = jax.jit(_normal_to_sub_walk, static_argnums=1)
 
 
 def sub_to_normal_bn(batch_stats: Any) -> Any:
@@ -234,27 +240,28 @@ def sub_to_normal_bn(batch_stats: Any) -> Any:
     running stats and the ``split_*`` entries are dropped, so a sub-BN phase
     hands correct running statistics to the following normal/sync-BN phase.
     """
-
-    def fix(tree):
-        if isinstance(tree, dict):
-            keys = set(tree.keys())
-            if {"split_mean", "split_var", "mean", "var"} <= keys:
-                sm, sv = tree["split_mean"], tree["split_var"]
-                mean = jnp.mean(sm, axis=0)
-                var = jnp.mean(sv, axis=0) + jnp.mean(
-                    jnp.square(sm - mean), axis=0
-                )
-                new = {k: v for k, v in tree.items()
-                       if k not in ("split_mean", "split_var")}
-                new["mean"], new["var"] = mean, var
-                return new
-            return {k: fix(v) for k, v in tree.items()}
-        return tree
-
-    import jax
-
     # one jitted program — see aggregate_sub_bn_stats on why not eager
-    return jax.jit(fix)(_as_plain_dict(batch_stats))
+    return _sub_to_normal_fix(_as_plain_dict(batch_stats))
+
+
+def _sub_to_normal_walk(tree):
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if {"split_mean", "split_var", "mean", "var"} <= keys:
+            sm, sv = tree["split_mean"], tree["split_var"]
+            mean = jnp.mean(sm, axis=0)
+            var = jnp.mean(sv, axis=0) + jnp.mean(
+                jnp.square(sm - mean), axis=0
+            )
+            new = {k: v for k, v in tree.items()
+                   if k not in ("split_mean", "split_var")}
+            new["mean"], new["var"] = mean, var
+            return new
+        return {k: _sub_to_normal_walk(v) for k, v in tree.items()}
+    return tree
+
+
+_sub_to_normal_fix = jax.jit(_sub_to_normal_walk)
 
 
 def adapt_bn_stats_to(target: Any, stats: Any) -> Any:

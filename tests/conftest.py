@@ -21,28 +21,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def _machine_cache_dir(base: str) -> str:
-    """Suffix the compile-cache dir with a hash of the host CPU feature set.
-
-    XLA:CPU loads persistent-cache AOT results compiled on a DIFFERENT
-    machine with only a warning ("could lead to execution errors such as
-    SIGILL") — after a VM migration the stale blobs execute with mismatched
-    machine features and can compute garbage (observed: nondeterministic
-    NaNs in training that vanish with a fresh cache). Keying the directory
-    by the CPU flags turns a migration into a cache miss instead.
-    """
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    return f"{base}-{hashlib.sha1(flags.encode()).hexdigest()[:10]}"
-
+# machine-keyed cache dir (see utils/env.py::machine_cache_dir on why:
+# cross-machine AOT cache blobs can compute garbage after a VM migration)
+from efficient_slowfast_tpu.utils.env import machine_cache_dir  # noqa: E402
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      _machine_cache_dir("/tmp/jax_test_cache"))
+                      machine_cache_dir("/tmp/jax_test_cache"))
 
 import jax  # noqa: E402
 

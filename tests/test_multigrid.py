@@ -157,7 +157,8 @@ def test_long_cycle_sub_bn_phase_end_to_end(tmp_path):
     cfg.SOLVER.MAX_EPOCH = 2
     cfg.TRAIN.EVAL_PERIOD = 10
     cfg.TPU.COMPUTE_DTYPE = "float32"
-    cfg.TPU.DONATE = os.environ.get("SUBBN_DONATE", "1") == "1"
+    cfg.TPU.DONATE = True  # the production default; phase rebuilds must
+    # survive donated buffers
     cfg.DATA_LOADER.NUM_WORKERS = 2
     cfg.OUTPUT_DIR = str(tmp_path)
 
