@@ -47,6 +47,10 @@ def test_demo_windows_labels_fps(tmp_path):
     assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
     info = decoder.probe(cfg.DEMO.OUTPUT_FILE)
     assert info is not None and info["nb_frames"] > 0
+    # playback at the window frame rate (windows keep 1 of SAMPLING_RATE
+    # frames of the TARGET_FPS-resampled source), not the source rate
+    assert round(info["fps"]) == round(
+        cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE)
     # the overlay must have changed pixels vs a plain resize of the source
     clip = decoder.decode_clip(cfg.DEMO.OUTPUT_FILE, num_frames=4,
                                sampling_rate=1, clip_idx=0, num_clips=1,
