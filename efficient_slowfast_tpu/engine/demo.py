@@ -177,6 +177,16 @@ def demo(cfg, stream=None, display=None):
     state, _ = create_train_state(cfg, model, rng)
     state = cu.load_test_checkpoint(cfg, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if cfg.TPU.INT8_EVAL:
+        # reuse a persisted serving calibration when one matches this
+        # model/config; otherwise the loop below calibrates lazily on the
+        # first window
+        from .quantize import load_calibration
+
+        _q = load_calibration(cfg, variables)
+        if _q is not None:
+            variables["quant"] = _q
+            logger.info("TPU.INT8_EVAL: loaded persisted calibration")
 
     labels = None
     if cfg.DEMO.LABEL_FILE_PATH:

@@ -55,6 +55,73 @@ def calibrate_int8(model, variables, batches):
     return variables
 
 
+def calibration_path(cfg) -> str:
+    """Where the serving engines persist the calibrated ``quant``
+    collection (msgpack). Calibrate once, serve many: a deployment keeps
+    its activation ranges with its checkpoints instead of re-reading
+    calibration batches at every serving start."""
+    import os
+
+    return os.path.join(cfg.OUTPUT_DIR, "checkpoints",
+                        "int8_calibration.msgpack")
+
+
+def _fingerprint(cfg, variables) -> str:
+    """Identity of the quantized module tree: the params tree structure
+    (which determines where quant scales live) plus the knobs that change
+    the quant layout or the activation distribution it was calibrated on.
+    A persisted calibration from a different arch/config must not silently
+    mis-scale the net."""
+    import hashlib
+
+    s = repr(jax.tree_util.tree_structure(_plain(variables["params"])))
+    s += (f"|spatial={bool(cfg.TPU.INT8_SPATIAL)}"
+          f"|frames={cfg.DATA.NUM_FRAMES}|crop={cfg.DATA.TEST_CROP_SIZE}")
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def load_calibration(cfg, variables):
+    """Return the persisted ``quant`` collection, or None if absent,
+    unreadable, uncalibrated, or written for a different model/config
+    (fingerprint mismatch)."""
+    import os
+
+    import flax
+
+    path = calibration_path(cfg)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            payload = flax.serialization.msgpack_restore(f.read())
+        if payload.get("fingerprint") != _fingerprint(cfg, variables):
+            return None
+        quant = payload["quant"]
+        return quant if quant_is_calibrated({"quant": quant}) else None
+    except Exception:  # corrupt file -> recalibrate rather than crash
+        return None
+
+
+def save_calibration(cfg, variables, quant) -> str:
+    import os
+
+    import flax
+
+    path = calibration_path(cfg)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {"fingerprint": _fingerprint(cfg, variables),
+               "quant": flax.serialization.to_state_dict(_plain(quant))}
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    return path
+
+
+def _plain(tree):
+    if hasattr(tree, "items"):
+        return {k: _plain(v) for k, v in tree.items()}
+    return tree
+
+
 def calibrate_for_test(cfg, model, variables, mesh):
     """Auto-calibration used by the test/serving engines: record activation
     ranges on the first ``cfg.TPU.INT8_CALIB_BATCHES`` batches of a fresh

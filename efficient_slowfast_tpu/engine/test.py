@@ -106,15 +106,24 @@ def test(cfg):
 
     quant = None
     if cfg.TPU.INT8_EVAL:
-        # serving path: record per-layer activation ranges on the first
-        # calibration batches before jitting the int8 forward (serving an
-        # uncalibrated scale would zero the net — ops/conv.py)
-        from .quantize import calibrate_for_test
+        # serving path: load the persisted calibration when one matches
+        # this model/config, else record per-layer activation ranges on the
+        # first calibration batches and persist them — calibrate once,
+        # serve many (serving an uncalibrated scale would zero the net,
+        # ops/conv.py)
+        from .quantize import (calibrate_for_test, load_calibration,
+                               save_calibration)
 
-        logger.info("TPU.INT8_EVAL: calibrating activation ranges on %d "
-                    "test batch(es)", max(1, cfg.TPU.INT8_CALIB_BATCHES))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        quant = calibrate_for_test(cfg, model, variables, mesh)
+        quant = load_calibration(cfg, variables)
+        if quant is not None:
+            logger.info("TPU.INT8_EVAL: loaded persisted calibration")
+        else:
+            logger.info("TPU.INT8_EVAL: calibrating activation ranges on %d "
+                        "test batch(es)", max(1, cfg.TPU.INT8_CALIB_BATCHES))
+            quant = calibrate_for_test(cfg, model, variables, mesh)
+            path = save_calibration(cfg, variables, quant)
+            logger.info("TPU.INT8_EVAL: persisted calibration to %s", path)
 
     if cfg.DETECTION.ENABLE:
         return _test_detection(cfg, state, model, loader, mesh, quant=quant)

@@ -170,14 +170,16 @@ def test_int8_eval_full_model_calibrate_and_serve(int8_options):
         opt_mod.options.int8_spatial = False
 
 
-def test_int8_eval_test_engine_auto_calibrates(tmp_path):
+def test_int8_eval_test_engine_auto_calibrates(tmp_path, monkeypatch):
     """The serving engines calibrate automatically: `engine.test.test` with
     TPU.INT8_EVAL on runs a TPU.INT8_CALIB_BATCHES-batch calibration pass
-    (engine/quantize.py::calibrate_for_test) before the 30-view loop, and
-    the full ensemble still completes (TestMeter raises otherwise).
-    TRAIN.ENABLE must be off — the cfg validator rejects the combination
-    because the quant collection is neither trained nor checkpointed."""
+    (engine/quantize.py::calibrate_for_test) before the 30-view loop,
+    persists it, and a second serving run loads the persisted calibration
+    instead of recalibrating. The full ensemble still completes (TestMeter
+    raises otherwise). TRAIN.ENABLE must be off — the cfg validator
+    rejects the combination because the quant collection is not trained."""
     from efficient_slowfast_tpu.config.defaults import assert_and_infer_cfg
+    from efficient_slowfast_tpu.engine import quantize as qmod
     from efficient_slowfast_tpu.engine.test import test as run_test
 
     cfg = get_cfg()
@@ -210,9 +212,34 @@ def test_int8_eval_test_engine_auto_calibrates(tmp_path):
     cfg.OUTPUT_DIR = str(tmp_path)
     cfg = assert_and_infer_cfg(cfg)
 
+    calib_calls = []
+    real_calibrate = qmod.calibrate_for_test
+    monkeypatch.setattr(
+        qmod, "calibrate_for_test",
+        lambda *a, **k: calib_calls.append(1) or real_calibrate(*a, **k))
+
     stats = run_test(cfg)
     assert "top1_acc" in stats
     assert 0.0 <= float(stats["top1_acc"]) <= 100.0
+    assert calib_calls == [1]
+    import os
+
+    assert os.path.exists(qmod.calibration_path(cfg))
+
+    # second serving run: persisted calibration is loaded, no recalibration
+    stats2 = run_test(cfg)
+    assert "top1_acc" in stats2
+    assert calib_calls == [1]
+
+    # a different quant layout invalidates the persisted file (fingerprint)
+    cfg.TPU.INT8_SPATIAL = True
+    try:
+        stats3 = run_test(cfg)
+        assert calib_calls == [1, 1]
+        assert "top1_acc" in stats3
+    finally:
+        cfg.TPU.INT8_SPATIAL = False
+        opt_mod.options.int8_spatial = False
 
     # the validator rejects int8 serving combined with training
     cfg.TRAIN.ENABLE = True
