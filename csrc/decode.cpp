@@ -265,71 +265,135 @@ int esf_probe(const char* path, double* fps, int64_t* nb_frames,
     return 0;
 }
 
-// Encode `n` RGB24 frames (h x w) into an mpeg4 .mp4 — test-fixture helper.
+// ---------------------------------------------------------------------------
+// Streaming mpeg4 encoder: open once, append RGB24 frames per window, close
+// writes the trailer. This is the demo's annotated-output sink (constant
+// memory over arbitrarily long camera streams — the reference streams through
+// cv2.VideoWriter, tools/demo_net.py:62-75); esf_write_test_video composes it
+// for one-shot fixture encodes.
+
+struct EncodeCtx {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* enc = nullptr;
+    AVStream* st = nullptr;
+    SwsContext* sws = nullptr;
+    AVFrame* frm = nullptr;
+    AVPacket* pkt = nullptr;
+    int w = 0, h = 0;
+    int64_t next_pts = 0;
+};
+
+static void encoder_free(EncodeCtx* ctx) {
+    if (!ctx) return;
+    if (ctx->pkt) av_packet_free(&ctx->pkt);
+    if (ctx->frm) av_frame_free(&ctx->frm);
+    if (ctx->sws) sws_freeContext(ctx->sws);
+    if (ctx->enc) avcodec_free_context(&ctx->enc);
+    if (ctx->fmt) {
+        if (!(ctx->fmt->oformat->flags & AVFMT_NOFILE) && ctx->fmt->pb)
+            avio_closep(&ctx->fmt->pb);
+        avformat_free_context(ctx->fmt);
+    }
+    delete ctx;
+}
+
+static void encoder_drain(EncodeCtx* ctx, AVFrame* f) {
+    avcodec_send_frame(ctx->enc, f);
+    while (avcodec_receive_packet(ctx->enc, ctx->pkt) == 0) {
+        av_packet_rescale_ts(ctx->pkt, ctx->enc->time_base,
+                             ctx->st->time_base);
+        // give every packet its display duration (one tick), otherwise the
+        // container duration excludes the last frame and avg_frame_rate
+        // reads n/(n-1) too high for short clips
+        if (ctx->pkt->duration == 0)
+            ctx->pkt->duration = av_rescale_q(1, ctx->enc->time_base,
+                                              ctx->st->time_base);
+        ctx->pkt->stream_index = ctx->st->index;
+        av_interleaved_write_frame(ctx->fmt, ctx->pkt);
+        av_packet_unref(ctx->pkt);
+    }
+}
+
+void* esf_encoder_open(const char* path, int w, int h, int fps) {
+    EncodeCtx* ctx = new EncodeCtx();
+    ctx->w = w;
+    ctx->h = h;
+    avformat_alloc_output_context2(&ctx->fmt, nullptr, nullptr, path);
+    if (!ctx->fmt) { encoder_free(ctx); return nullptr; }
+    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!codec) { encoder_free(ctx); return nullptr; }
+    ctx->st = avformat_new_stream(ctx->fmt, nullptr);
+    ctx->enc = avcodec_alloc_context3(codec);
+    ctx->enc->width = w;
+    ctx->enc->height = h;
+    ctx->enc->time_base = {1, fps};
+    ctx->enc->framerate = {fps, 1};
+    ctx->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->enc->gop_size = 8;
+    ctx->enc->bit_rate = 4000000;
+    if (ctx->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        ctx->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(ctx->enc, codec, nullptr) < 0) {
+        encoder_free(ctx); return nullptr;
+    }
+    avcodec_parameters_from_context(ctx->st->codecpar, ctx->enc);
+    ctx->st->time_base = ctx->enc->time_base;
+    if (!(ctx->fmt->oformat->flags & AVFMT_NOFILE))
+        if (avio_open(&ctx->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+            encoder_free(ctx); return nullptr;
+        }
+    if (avformat_write_header(ctx->fmt, nullptr) < 0) {
+        encoder_free(ctx); return nullptr;
+    }
+    ctx->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                              AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                              nullptr, nullptr, nullptr);
+    ctx->frm = av_frame_alloc();
+    ctx->frm->format = AV_PIX_FMT_YUV420P;
+    ctx->frm->width = w;
+    ctx->frm->height = h;
+    av_frame_get_buffer(ctx->frm, 0);
+    ctx->pkt = av_packet_alloc();
+    if (!ctx->sws || !ctx->frm || !ctx->pkt) {
+        encoder_free(ctx); return nullptr;
+    }
+    return ctx;
+}
+
+int esf_encoder_append(void* handle, const unsigned char* rgb, int n) {
+    EncodeCtx* ctx = static_cast<EncodeCtx*>(handle);
+    if (!ctx) return -1;
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* src_data[4] = {
+            rgb + size_t(i) * ctx->w * ctx->h * 3, nullptr, nullptr, nullptr};
+        int src_linesize[4] = {ctx->w * 3, 0, 0, 0};
+        av_frame_make_writable(ctx->frm);
+        sws_scale(ctx->sws, src_data, src_linesize, 0, ctx->h,
+                  ctx->frm->data, ctx->frm->linesize);
+        ctx->frm->pts = ctx->next_pts++;
+        encoder_drain(ctx, ctx->frm);
+    }
+    return 0;
+}
+
+int esf_encoder_close(void* handle) {
+    EncodeCtx* ctx = static_cast<EncodeCtx*>(handle);
+    if (!ctx) return -1;
+    encoder_drain(ctx, nullptr);
+    av_write_trailer(ctx->fmt);
+    encoder_free(ctx);
+    return 0;
+}
+
+// Encode `n` RGB24 frames (h x w) into an mpeg4 .mp4 — test-fixture helper
+// and one-shot form of the streaming encoder above.
 int esf_write_test_video(const char* path, const unsigned char* rgb, int n,
                          int w, int h, int fps) {
-    AVFormatContext* fmt = nullptr;
-    avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
-    if (!fmt) return -1;
-    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
-    if (!codec) return -2;
-    AVStream* st = avformat_new_stream(fmt, nullptr);
-    AVCodecContext* enc = avcodec_alloc_context3(codec);
-    enc->width = w;
-    enc->height = h;
-    enc->time_base = {1, fps};
-    enc->framerate = {fps, 1};
-    enc->pix_fmt = AV_PIX_FMT_YUV420P;
-    enc->gop_size = 8;
-    enc->bit_rate = 4000000;
-    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
-        enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
-    avcodec_parameters_from_context(st->codecpar, enc);
-    st->time_base = enc->time_base;
-    if (!(fmt->oformat->flags & AVFMT_NOFILE))
-        if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
-    if (avformat_write_header(fmt, nullptr) < 0) return -5;
-
-    SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
-                                     AV_PIX_FMT_YUV420P, SWS_BILINEAR,
-                                     nullptr, nullptr, nullptr);
-    AVFrame* frm = av_frame_alloc();
-    frm->format = AV_PIX_FMT_YUV420P;
-    frm->width = w;
-    frm->height = h;
-    av_frame_get_buffer(frm, 0);
-    AVPacket* pkt = av_packet_alloc();
-
-    auto flush = [&](AVFrame* f) {
-        avcodec_send_frame(enc, f);
-        while (avcodec_receive_packet(enc, pkt) == 0) {
-            av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
-            pkt->stream_index = st->index;
-            av_interleaved_write_frame(fmt, pkt);
-            av_packet_unref(pkt);
-        }
-    };
-
-    for (int i = 0; i < n; ++i) {
-        const uint8_t* src_data[4] = {rgb + size_t(i) * w * h * 3, nullptr,
-                                      nullptr, nullptr};
-        int src_linesize[4] = {w * 3, 0, 0, 0};
-        av_frame_make_writable(frm);
-        sws_scale(sws, src_data, src_linesize, 0, h, frm->data, frm->linesize);
-        frm->pts = i;
-        flush(frm);
-    }
-    flush(nullptr);
-    av_write_trailer(fmt);
-
-    av_packet_free(&pkt);
-    av_frame_free(&frm);
-    sws_freeContext(sws);
-    avcodec_free_context(&enc);
-    if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
-    avformat_free_context(fmt);
-    return 0;
+    void* ctx = esf_encoder_open(path, w, h, fps);
+    if (!ctx) return -1;
+    int rc = esf_encoder_append(ctx, rgb, n);
+    int rc2 = esf_encoder_close(ctx);
+    return rc != 0 ? rc : rc2;
 }
 
 }  // extern "C"

@@ -63,6 +63,16 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.esf_encoder_open.restype = ctypes.c_void_p
+        lib.esf_encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.esf_encoder_append.restype = ctypes.c_int
+        lib.esf_encoder_append.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ]
+        lib.esf_encoder_close.restype = ctypes.c_int
+        lib.esf_encoder_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -106,6 +116,50 @@ def probe(path: str):
         return None
     return {"fps": fps.value, "nb_frames": nb.value,
             "width": w.value, "height": h.value}
+
+
+class VideoEncoder:
+    """Streaming mp4 encoder over the native lib: open once, ``append``
+    (N, H, W, 3) uint8 RGB clips per window, ``close`` writes the trailer.
+    Constant memory over arbitrarily long streams — the demo's annotated
+    output sink (reference streams via cv2.VideoWriter,
+    tools/demo_net.py:62-75). Usable as a context manager."""
+
+    def __init__(self, path: str, width: int, height: int, fps: int):
+        self._lib = get_lib()
+        self._h = self._lib.esf_encoder_open(
+            path.encode(), int(width), int(height), max(int(fps), 1))
+        if not self._h:
+            raise RuntimeError(f"cannot open encoder for {path}")
+        self.path = path
+        self.width, self.height = int(width), int(height)
+        self.frames_written = 0
+
+    def append(self, frames: np.ndarray) -> None:
+        frames = np.ascontiguousarray(frames, np.uint8)
+        n, h, w, _c = frames.shape
+        assert (h, w) == (self.height, self.width), (
+            f"window size {(h, w)} != encoder size "
+            f"{(self.height, self.width)}")
+        rc = self._lib.esf_encoder_append(
+            self._h, frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            n)
+        if rc != 0:
+            raise RuntimeError(f"encoder append failed ({rc})")
+        self.frames_written += n
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.esf_encoder_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise RuntimeError(f"encoder close failed ({rc})")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def write_test_video(path: str, frames: np.ndarray, fps: int = 30) -> None:

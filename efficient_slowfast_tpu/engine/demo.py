@@ -218,7 +218,8 @@ def demo(cfg, stream=None, display=None):
 
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
-    annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    writer = None  # streaming annotated-output encoder, opened lazily at
+    # the first window (its frame size); constant memory over long streams
     close_display = lambda: None  # noqa: E731
     if display is None:
         display, close_display = _make_display(cfg)
@@ -270,10 +271,14 @@ def demo(cfg, stream=None, display=None):
         }
         log_json_stats(entry)
         results.append(entry)
-        if annotated is not None or display is not None:
+        if cfg.DEMO.OUTPUT_FILE or display is not None:
             drawn = _annotate(frames, entry)
-            if annotated is not None:
-                annotated.append(drawn)
+            if cfg.DEMO.OUTPUT_FILE:
+                if writer is None:
+                    writer = decoder.VideoEncoder(
+                        cfg.DEMO.OUTPUT_FILE, drawn.shape[2], drawn.shape[1],
+                        round(out_fps))
+                writer.append(drawn)
             if display is not None and not display(drawn):
                 logger.info("Display quit (Esc) at window %d", widx)
                 break
@@ -281,11 +286,10 @@ def demo(cfg, stream=None, display=None):
     fps_measured = len(results) * cfg.DATA.NUM_FRAMES / max(time.time() - t0, 1e-6)
     logger.info("Demo done: %d windows, %.1f frames/s", len(results), fps_measured)
 
-    if annotated:
-        out = np.concatenate(annotated, axis=0)
-        decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out,
-                                 fps=max(int(round(out_fps)), 1))
-        logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
+    if writer is not None:
+        writer.close()
+        logger.info("Wrote annotated video to %s (%d frames)",
+                    cfg.DEMO.OUTPUT_FILE, writer.frames_written)
     return results
 
 
@@ -320,7 +324,19 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     short = cfg.DATA.TEST_CROP_SIZE
     rep = replicated(mesh)
     results = []
-    annotated = [] if cfg.DEMO.OUTPUT_FILE else None
+    writer = None  # streaming annotated-output encoder (lazy, see demo())
+    out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
+
+    def _write(frames_):
+        nonlocal writer
+        if not cfg.DEMO.OUTPUT_FILE:
+            return
+        if writer is None:
+            writer = decoder.VideoEncoder(
+                cfg.DEMO.OUTPUT_FILE, frames_.shape[2], frames_.shape[1],
+                round(out_fps))
+        writer.append(frames_)
+
     close_display = lambda: None  # noqa: E731
     if display is None:
         display, close_display = _make_display(cfg)
@@ -353,8 +369,7 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         if len(nboxes) == 0:
             # keep the output video time-continuous: pass the window
             # through un-annotated instead of silently dropping it
-            if annotated is not None:
-                annotated.append(canvas)
+            _write(canvas)
             continue
         if len(nboxes) > MAX_BOXES:
             logger.warning(
@@ -407,11 +422,10 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         }
         log_json_stats(entry)
         results.append(entry)
-        if annotated is not None or display is not None:
+        if cfg.DEMO.OUTPUT_FILE or display is not None:
             # draw on the canvas (the coordinate frame the boxes live in)
             drawn = _annotate_boxes(canvas, entry)
-            if annotated is not None:
-                annotated.append(drawn)
+            _write(drawn)
             if display is not None and not display(drawn):
                 logger.info("Display quit (Esc) at window %d", widx)
                 break
@@ -420,19 +434,14 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
                     / max(time.time() - t0, 1e-6))
     logger.info("Demo done: %d detection windows, %.1f frames/s",
                 len(results), fps_measured)
-    if annotated is not None:
-        if annotated:
-            # windows hold NUM_FRAMES frames spanning
-            # NUM_FRAMES*SAMPLING_RATE source frames at TARGET_FPS
-            out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
-            out = np.concatenate(annotated, axis=0)
-            decoder.write_test_video(cfg.DEMO.OUTPUT_FILE, out,
-                                     fps=max(int(round(out_fps)), 1))
-            logger.info("Wrote annotated video to %s", cfg.DEMO.OUTPUT_FILE)
-        else:
-            logger.warning(
-                "DEMO.OUTPUT_FILE set but no window produced frames "
-                "(no boxes matched any window index?) — nothing written")
+    if writer is not None:
+        writer.close()
+        logger.info("Wrote annotated video to %s (%d frames)",
+                    cfg.DEMO.OUTPUT_FILE, writer.frames_written)
+    elif cfg.DEMO.OUTPUT_FILE:
+        logger.warning(
+            "DEMO.OUTPUT_FILE set but no window produced frames "
+            "(no boxes matched any window index?) — nothing written")
     return results
 
 

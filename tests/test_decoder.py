@@ -96,3 +96,48 @@ def test_kinetics_dataset_end_to_end(fixture_video, tmp_path):
     assert item["temporal_idx"] == 1 and item["spatial_idx"] == 1
     # canvas right-padding must be zero
     assert item["frames"][:, :, 86:].max() == 0
+
+
+def test_streaming_encoder_roundtrip(tmp_path):
+    """VideoEncoder (csrc esf_encoder_open/append/close): per-window appends
+    produce one decodable mp4 with the requested fps and total frame count,
+    byte-equivalent in content to the one-shot esf_write_test_video path
+    (which now composes the same encoder)."""
+    import numpy as np
+
+    from efficient_slowfast_tpu.data import decoder
+
+    rs = np.random.RandomState(7)
+    windows = [rs.randint(0, 255, (4, 48, 64, 3), np.uint8)
+               for _ in range(3)]
+
+    spath = str(tmp_path / "stream.mp4")
+    with decoder.VideoEncoder(spath, width=64, height=48, fps=12) as enc:
+        for w in windows:
+            enc.append(w)
+    assert enc.frames_written == 12
+
+    info = decoder.probe(spath)
+    assert info is not None
+    assert info["nb_frames"] == 12
+    assert round(info["fps"]) == 12
+    assert (info["width"], info["height"]) == (64, 48)
+
+    # one-shot writer over the same frames -> same decoded content
+    opath = str(tmp_path / "oneshot.mp4")
+    decoder.write_test_video(opath, np.concatenate(windows, axis=0), fps=12)
+    a = decoder.decode_clip(spath, num_frames=12, sampling_rate=1,
+                            clip_idx=0, num_clips=1, target_fps=12,
+                            short_side=48, random_clip=False)
+    b = decoder.decode_clip(opath, num_frames=12, sampling_rate=1,
+                            clip_idx=0, num_clips=1, target_fps=12,
+                            short_side=48, random_clip=False)
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a, b)
+
+    # size mismatch is rejected, not silently scaled
+    import pytest
+
+    with decoder.VideoEncoder(str(tmp_path / "x.mp4"), 64, 48, 12) as enc2:
+        with pytest.raises(AssertionError):
+            enc2.append(rs.randint(0, 255, (2, 32, 32, 3), np.uint8))
