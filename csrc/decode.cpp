@@ -297,8 +297,9 @@ static void encoder_free(EncodeCtx* ctx) {
     delete ctx;
 }
 
-static void encoder_drain(EncodeCtx* ctx, AVFrame* f) {
-    avcodec_send_frame(ctx->enc, f);
+static int encoder_drain(EncodeCtx* ctx, AVFrame* f) {
+    int rc = avcodec_send_frame(ctx->enc, f);
+    if (rc < 0 && rc != AVERROR_EOF) return rc;
     while (avcodec_receive_packet(ctx->enc, ctx->pkt) == 0) {
         av_packet_rescale_ts(ctx->pkt, ctx->enc->time_base,
                              ctx->st->time_base);
@@ -309,9 +310,11 @@ static void encoder_drain(EncodeCtx* ctx, AVFrame* f) {
             ctx->pkt->duration = av_rescale_q(1, ctx->enc->time_base,
                                               ctx->st->time_base);
         ctx->pkt->stream_index = ctx->st->index;
-        av_interleaved_write_frame(ctx->fmt, ctx->pkt);
+        rc = av_interleaved_write_frame(ctx->fmt, ctx->pkt);
         av_packet_unref(ctx->pkt);
+        if (rc < 0) return rc;  // mux/IO failure (e.g. ENOSPC) propagates
     }
+    return 0;
 }
 
 void* esf_encoder_open(const char* path, int w, int h, int fps) {
@@ -324,6 +327,7 @@ void* esf_encoder_open(const char* path, int w, int h, int fps) {
     if (!codec) { encoder_free(ctx); return nullptr; }
     ctx->st = avformat_new_stream(ctx->fmt, nullptr);
     ctx->enc = avcodec_alloc_context3(codec);
+    if (!ctx->st || !ctx->enc) { encoder_free(ctx); return nullptr; }
     ctx->enc->width = w;
     ctx->enc->height = h;
     ctx->enc->time_base = {1, fps};
@@ -371,7 +375,8 @@ int esf_encoder_append(void* handle, const unsigned char* rgb, int n) {
         sws_scale(ctx->sws, src_data, src_linesize, 0, ctx->h,
                   ctx->frm->data, ctx->frm->linesize);
         ctx->frm->pts = ctx->next_pts++;
-        encoder_drain(ctx, ctx->frm);
+        int rc = encoder_drain(ctx, ctx->frm);
+        if (rc < 0) return rc;  // encode/mux failure is NOT silent
     }
     return 0;
 }
@@ -379,10 +384,10 @@ int esf_encoder_append(void* handle, const unsigned char* rgb, int n) {
 int esf_encoder_close(void* handle) {
     EncodeCtx* ctx = static_cast<EncodeCtx*>(handle);
     if (!ctx) return -1;
-    encoder_drain(ctx, nullptr);
-    av_write_trailer(ctx->fmt);
+    int rc = encoder_drain(ctx, nullptr);
+    int rc2 = av_write_trailer(ctx->fmt);
     encoder_free(ctx);
-    return 0;
+    return rc < 0 ? rc : rc2;
 }
 
 // Encode `n` RGB24 frames (h x w) into an mpeg4 .mp4 — test-fixture helper

@@ -136,16 +136,25 @@ class VideoEncoder:
         self.frames_written = 0
 
     def append(self, frames: np.ndarray) -> None:
-        frames = np.ascontiguousarray(frames, np.uint8)
+        frames = np.asarray(frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected (N, H, W, 3) RGB frames, got {frames.shape}")
+        if frames.dtype != np.uint8:
+            raise ValueError(f"expected uint8 frames, got {frames.dtype}")
         n, h, w, _c = frames.shape
-        assert (h, w) == (self.height, self.width), (
-            f"window size {(h, w)} != encoder size "
-            f"{(self.height, self.width)}")
+        if (h, w) != (self.height, self.width):
+            raise ValueError(
+                f"window size {(h, w)} != encoder size "
+                f"{(self.height, self.width)}")
+        frames = np.ascontiguousarray(frames)
         rc = self._lib.esf_encoder_append(
             self._h, frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             n)
         if rc != 0:
-            raise RuntimeError(f"encoder append failed ({rc})")
+            raise RuntimeError(
+                f"encoder append failed ({rc}) — encode or mux error "
+                f"(disk full?) writing {self.path}")
         self.frames_written += n
 
     def close(self) -> None:

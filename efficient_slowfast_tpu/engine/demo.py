@@ -162,6 +162,49 @@ def file_window_stream(cfg, info=None):
         yield widx, frames
 
 
+class _LazyWriter:
+    """Streaming annotated-output sink shared by both demo paths: opens the
+    native encoder at the first window (when the frame size is known) and
+    appends per window — constant memory over long streams. ``close`` (run
+    in a finally) writes the mp4 trailer so an interrupted recording stays
+    playable. No-op when ``path`` is empty."""
+
+    def __init__(self, path: str, fps: float):
+        self.path = path
+        self.fps = fps
+        self.frames_written = 0
+        self._enc = None
+
+    def write(self, frames: np.ndarray) -> None:
+        if not self.path:
+            return
+        if self._enc is None:
+            self._enc = decoder.VideoEncoder(
+                self.path, frames.shape[2], frames.shape[1],
+                round(self.fps))
+        self._enc.append(frames)
+        self.frames_written = self._enc.frames_written
+
+    def close(self) -> None:
+        if self._enc is not None:
+            enc, self._enc = self._enc, None
+            enc.close()
+            logger.info("Wrote annotated video to %s (%d frames)",
+                        self.path, enc.frames_written)
+
+
+def _demo_calibrate(cfg, model, variables, batch, widx):
+    """Lazy first-window int8 calibration + persistence (calibrate once,
+    serve many — the next demo/test run loads the file instead)."""
+    from .quantize import calibrate_int8, save_calibration
+
+    variables = calibrate_int8(model, variables, [batch])
+    path = save_calibration(cfg, variables, variables["quant"])
+    logger.info("TPU.INT8_EVAL: calibrated activation ranges on window %d; "
+                "persisted to %s", widx, path)
+    return variables
+
+
 def demo(cfg, stream=None, display=None):
     """Run the sliding-window demo; ``stream`` overrides the window source
     (an iterable of (widx, (T,H,W,3) uint8 RGB frames)) and ``display``
@@ -218,8 +261,7 @@ def demo(cfg, stream=None, display=None):
 
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
-    writer = None  # streaming annotated-output encoder, opened lazily at
-    # the first window (its frame size); constant memory over long streams
+    writer = _LazyWriter(cfg.DEMO.OUTPUT_FILE, out_fps)
     close_display = lambda: None  # noqa: E731
     if display is None:
         display, close_display = _make_display(cfg)
@@ -236,60 +278,52 @@ def demo(cfg, stream=None, display=None):
             jax.device_put(np.asarray([1], np.int32), rep)))
     t0 = time.time()
     t_prev = t0
-    for widx, frames in stream:
-        from ..data.datasets import fit_canvas
+    try:
+        for widx, frames in stream:
+            from ..data.datasets import fit_canvas
 
-        canvas, width = fit_canvas(frames, short)
-        # single-clip window: replicate rather than data-shard (batch 1 is
-        # not divisible by the mesh; the demo is a latency, not throughput,
-        # path)
-        fb = jax.device_put(canvas[None], rep)
-        wb = jax.device_put(np.asarray([width], np.int32), rep)
-        sidx = jax.device_put(np.asarray([1], np.int32), rep)  # center crop
-        inputs = preprocess(fb, wb, sidx)
-        if cfg.TPU.INT8_EVAL and "quant" not in variables:
-            from .quantize import calibrate_int8
-
-            variables = calibrate_int8(model, variables, [inputs])
-            logger.info(
-                "TPU.INT8_EVAL: calibrated activation ranges on window %d",
-                widx)
-        preds = np.asarray(jax.device_get(fwd(variables, inputs)))[0]
-        topk = np.argsort(-preds)[: cfg.TENSORBOARD.HISTOGRAM.TOPK or 3]
-        t_now = time.time()
-        # frames/s over this window, like the reference's per-iteration
-        # speed overlay (reference: tools/demo_net.py:240-255)
-        win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)
-        t_prev = t_now
-        entry = {
-            "_type": "demo_window",
-            "window": widx,
-            "sec": round(widx * clip_len_s, 2),
-            "top_classes": [labels[i] if labels else int(i) for i in topk],
-            "scores": [round(float(preds[i]), 4) for i in topk],
-            "fps": round(win_fps, 1),
-        }
-        log_json_stats(entry)
-        results.append(entry)
-        if cfg.DEMO.OUTPUT_FILE or display is not None:
-            drawn = _annotate(frames, entry)
-            if cfg.DEMO.OUTPUT_FILE:
-                if writer is None:
-                    writer = decoder.VideoEncoder(
-                        cfg.DEMO.OUTPUT_FILE, drawn.shape[2], drawn.shape[1],
-                        round(out_fps))
-                writer.append(drawn)
-            if display is not None and not display(drawn):
-                logger.info("Display quit (Esc) at window %d", widx)
-                break
-    close_display()
+            canvas, width = fit_canvas(frames, short)
+            # single-clip window: replicate rather than data-shard (batch 1
+            # is not divisible by the mesh; the demo is a latency, not
+            # throughput, path)
+            fb = jax.device_put(canvas[None], rep)
+            wb = jax.device_put(np.asarray([width], np.int32), rep)
+            sidx = jax.device_put(np.asarray([1], np.int32), rep)  # center
+            inputs = preprocess(fb, wb, sidx)
+            if cfg.TPU.INT8_EVAL and "quant" not in variables:
+                variables = _demo_calibrate(cfg, model, variables, inputs,
+                                            widx)
+            preds = np.asarray(jax.device_get(fwd(variables, inputs)))[0]
+            topk = np.argsort(-preds)[: cfg.TENSORBOARD.HISTOGRAM.TOPK or 3]
+            t_now = time.time()
+            # frames/s over this window, like the reference's per-iteration
+            # speed overlay (reference: tools/demo_net.py:240-255)
+            win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)
+            t_prev = t_now
+            entry = {
+                "_type": "demo_window",
+                "window": widx,
+                "sec": round(widx * clip_len_s, 2),
+                "top_classes": [labels[i] if labels else int(i)
+                                for i in topk],
+                "scores": [round(float(preds[i]), 4) for i in topk],
+                "fps": round(win_fps, 1),
+            }
+            log_json_stats(entry)
+            results.append(entry)
+            if cfg.DEMO.OUTPUT_FILE or display is not None:
+                drawn = _annotate(frames, entry)
+                writer.write(drawn)
+                if display is not None and not display(drawn):
+                    logger.info("Display quit (Esc) at window %d", widx)
+                    break
+    finally:
+        # always release the display and finalize the mp4 (trailer) — an
+        # interrupted recording must stay playable
+        close_display()
+        writer.close()
     fps_measured = len(results) * cfg.DATA.NUM_FRAMES / max(time.time() - t0, 1e-6)
     logger.info("Demo done: %d windows, %.1f frames/s", len(results), fps_measured)
-
-    if writer is not None:
-        writer.close()
-        logger.info("Wrote annotated video to %s (%d frames)",
-                    cfg.DEMO.OUTPUT_FILE, writer.frames_written)
     return results
 
 
@@ -324,19 +358,10 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     short = cfg.DATA.TEST_CROP_SIZE
     rep = replicated(mesh)
     results = []
-    writer = None  # streaming annotated-output encoder (lazy, see demo())
-    out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
-
-    def _write(frames_):
-        nonlocal writer
-        if not cfg.DEMO.OUTPUT_FILE:
-            return
-        if writer is None:
-            writer = decoder.VideoEncoder(
-                cfg.DEMO.OUTPUT_FILE, frames_.shape[2], frames_.shape[1],
-                round(out_fps))
-        writer.append(frames_)
-
+    # windows hold NUM_FRAMES frames spanning NUM_FRAMES*SAMPLING_RATE
+    # source frames at TARGET_FPS
+    writer = _LazyWriter(cfg.DEMO.OUTPUT_FILE,
+                         cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE)
     close_display = lambda: None  # noqa: E731
     if display is None:
         display, close_display = _make_display(cfg)
@@ -355,6 +380,32 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
                 jax.device_put(np.zeros((1, MAX_BOXES, 4), np.float32), rep))
     t0 = time.time()
     t_prev = t0
+    try:
+        _detection_window_loop(
+            cfg, model, variables, fwd, preprocess, rep, boxes_by_window,
+            num_windows, short, _wc, clip_len_s, labels, results, writer,
+            display)
+    finally:
+        close_display()
+        writer.close()
+    fps_measured = (len(results) * cfg.DATA.NUM_FRAMES
+                    / max(time.time() - t0, 1e-6))
+    logger.info("Demo done: %d detection windows, %.1f frames/s",
+                len(results), fps_measured)
+    if cfg.DEMO.OUTPUT_FILE and writer.frames_written == 0:
+        logger.warning(
+            "DEMO.OUTPUT_FILE set but no window produced frames "
+            "(no boxes matched any window index?) — nothing written")
+    return results
+
+
+def _detection_window_loop(cfg, model, variables, fwd, preprocess, rep,
+                           boxes_by_window, num_windows, short, _wc,
+                           clip_len_s, labels, results, writer, display):
+    from ..data.ava_dataset import MAX_BOXES
+    from ..data.datasets import fit_canvas
+
+    t_prev = time.time()
     for widx in range(num_windows):
         frames = decoder.decode_clip(
             cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
@@ -369,7 +420,7 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         if len(nboxes) == 0:
             # keep the output video time-continuous: pass the window
             # through un-annotated instead of silently dropping it
-            _write(canvas)
+            writer.write(canvas)
             continue
         if len(nboxes) > MAX_BOXES:
             logger.warning(
@@ -393,14 +444,10 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         inputs = preprocess(jax.device_put(canvas[None], rep))
         rois = jax.device_put(px[None], rep)
         if cfg.TPU.INT8_EVAL and "quant" not in variables:
-            from .quantize import calibrate_int8
             from .state import _flatten_rois
 
-            variables = calibrate_int8(
-                model, variables, [(inputs, _flatten_rois(rois))])
-            logger.info(
-                "TPU.INT8_EVAL: calibrated activation ranges on window %d",
-                widx)
+            variables = _demo_calibrate(
+                cfg, model, variables, (inputs, _flatten_rois(rois)), widx)
         scores = np.asarray(jax.device_get(fwd(variables, inputs, rois)))[:n]
         t_now = time.time()
         win_fps = cfg.DATA.NUM_FRAMES / max(t_now - t_prev, 1e-6)
@@ -425,24 +472,10 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         if cfg.DEMO.OUTPUT_FILE or display is not None:
             # draw on the canvas (the coordinate frame the boxes live in)
             drawn = _annotate_boxes(canvas, entry)
-            _write(drawn)
+            writer.write(drawn)
             if display is not None and not display(drawn):
                 logger.info("Display quit (Esc) at window %d", widx)
                 break
-    close_display()
-    fps_measured = (len(results) * cfg.DATA.NUM_FRAMES
-                    / max(time.time() - t0, 1e-6))
-    logger.info("Demo done: %d detection windows, %.1f frames/s",
-                len(results), fps_measured)
-    if writer is not None:
-        writer.close()
-        logger.info("Wrote annotated video to %s (%d frames)",
-                    cfg.DEMO.OUTPUT_FILE, writer.frames_written)
-    elif cfg.DEMO.OUTPUT_FILE:
-        logger.warning(
-            "DEMO.OUTPUT_FILE set but no window produced frames "
-            "(no boxes matched any window index?) — nothing written")
-    return results
 
 
 def _annotate_boxes(frames: np.ndarray, entry) -> np.ndarray:

@@ -67,17 +67,30 @@ def calibration_path(cfg) -> str:
 
 
 def _fingerprint(cfg, variables) -> str:
-    """Identity of the quantized module tree: the params tree structure
-    (which determines where quant scales live) plus the knobs that change
-    the quant layout or the activation distribution it was calibrated on.
-    A persisted calibration from a different arch/config must not silently
-    mis-scale the net."""
+    """Identity of the quantized model: the params tree structure (which
+    determines where quant scales live), a digest of the WEIGHT VALUES
+    (activation ranges are only valid for the checkpoint they were
+    calibrated on — retraining into the same OUTPUT_DIR must invalidate
+    the file), and the knobs that change the quant layout or input
+    distribution. A mismatch means recalibrate, never silently reuse."""
     import hashlib
 
-    s = repr(jax.tree_util.tree_structure(_plain(variables["params"])))
-    s += (f"|spatial={bool(cfg.TPU.INT8_SPATIAL)}"
-          f"|frames={cfg.DATA.NUM_FRAMES}|crop={cfg.DATA.TEST_CROP_SIZE}")
-    return hashlib.sha1(s.encode()).hexdigest()
+    import jax.numpy as jnp
+    import numpy as np
+
+    params = _plain(variables["params"])
+    leaves = jax.tree_util.tree_leaves(params)
+    # one compiled program, one tiny transfer: per-leaf f32 sums are a
+    # cheap value digest (any weight change moves some sum)
+    sums = jax.jit(
+        lambda ls: jnp.stack([jnp.sum(x.astype(jnp.float32)) for x in ls])
+    )(leaves)
+    h = hashlib.sha1(repr(jax.tree_util.tree_structure(params)).encode())
+    h.update(np.asarray(sums).tobytes())
+    h.update((f"|spatial={bool(cfg.TPU.INT8_SPATIAL)}"
+              f"|frames={cfg.DATA.NUM_FRAMES}"
+              f"|crop={cfg.DATA.TEST_CROP_SIZE}").encode())
+    return h.hexdigest()
 
 
 def load_calibration(cfg, variables):
@@ -110,13 +123,15 @@ def save_calibration(cfg, variables, quant) -> str:
     path = calibration_path(cfg)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {"fingerprint": _fingerprint(cfg, variables),
-               "quant": flax.serialization.to_state_dict(_plain(quant))}
+               "quant": flax.serialization.to_state_dict(quant)}
     with open(path, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(payload))
     return path
 
 
 def _plain(tree):
+    """Plain-dict view (load-bearing only where tree_structure reprs are
+    compared/hashed — FrozenDict vs dict repr differ)."""
     if hasattr(tree, "items"):
         return {k: _plain(v) for k, v in tree.items()}
     return tree

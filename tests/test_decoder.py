@@ -135,9 +135,13 @@ def test_streaming_encoder_roundtrip(tmp_path):
     assert a is not None and b is not None
     np.testing.assert_array_equal(a, b)
 
-    # size mismatch is rejected, not silently scaled
+    # size/shape/dtype mismatches are rejected, not silently mis-encoded
     import pytest
 
     with decoder.VideoEncoder(str(tmp_path / "x.mp4"), 64, 48, 12) as enc2:
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             enc2.append(rs.randint(0, 255, (2, 32, 32, 3), np.uint8))
+        with pytest.raises(ValueError):  # RGBA: wrong channel count
+            enc2.append(rs.randint(0, 255, (2, 48, 64, 4), np.uint8))
+        with pytest.raises(ValueError):  # float frames are not truncated
+            enc2.append(rs.rand(2, 48, 64, 3).astype(np.float32))

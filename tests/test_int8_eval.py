@@ -170,6 +170,35 @@ def test_int8_eval_full_model_calibrate_and_serve(int8_options):
         opt_mod.options.int8_spatial = False
 
 
+def test_calibration_fingerprint_tracks_weight_values(tmp_path):
+    """A persisted calibration is only valid for the checkpoint it was
+    calibrated on: changing any weight value (not just the tree shape)
+    invalidates the file, forcing recalibration instead of silently
+    serving stale activation ranges."""
+    import jax.numpy as jnp
+
+    from efficient_slowfast_tpu.engine.quantize import (load_calibration,
+                                                        save_calibration)
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    variables = {"params": {"conv": {"kernel": jnp.ones((1, 1, 1, 4, 8))}}}
+    quant = {"conv": {"act_max": jnp.asarray(2.5, jnp.float32)}}
+    save_calibration(cfg, variables, quant)
+    got = load_calibration(cfg, variables)
+    assert got is not None
+    assert float(jax.tree_util.tree_leaves(got)[0]) == 2.5
+
+    # same tree structure, different weight values -> invalid
+    variables2 = {"params": {"conv": {"kernel":
+                                      jnp.ones((1, 1, 1, 4, 8)) * 1.01}}}
+    assert load_calibration(cfg, variables2) is None
+
+    # a changed input distribution knob also invalidates
+    cfg.DATA.TEST_CROP_SIZE += 32
+    assert load_calibration(cfg, variables) is None
+
+
 def test_int8_eval_test_engine_auto_calibrates(tmp_path, monkeypatch):
     """The serving engines calibrate automatically: `engine.test.test` with
     TPU.INT8_EVAL on runs a TPU.INT8_CALIB_BATCHES-batch calibration pass
