@@ -536,21 +536,44 @@ def main():
 
     emit = lambda d: print(json.dumps(d), flush=True)
 
+    def with_contention_retry(fn):
+        """The shared dev chip sees multi-hour co-tenant saturation
+        (RESOURCE_EXHAUSTED on any allocation). For single-mode runs —
+        including the driver's headline invocation — retry with backoff
+        inside a wall-clock budget instead of failing on the first hit.
+        Output stays one JSON line: nothing is emitted until success."""
+        budget = float(os.environ.get("BENCH_RETRY_SECS", "900"))
+        deadline = time.monotonic() + budget
+        while True:
+            try:
+                return fn()
+            except Exception as e:
+                transient = "RESOURCE_EXHAUSTED" in str(e) or \
+                    "ResourceExhausted" in type(e).__name__
+                if not transient or time.monotonic() > deadline:
+                    raise
+                print(f"bench: chip busy ({type(e).__name__}), retrying "
+                      f"until budget expires", file=sys.stderr, flush=True)
+                jax.clear_caches()
+                import gc
+                gc.collect()
+                time.sleep(60)
+
     if args.mode == "eval":
-        bench_eval(_flagship_cfg(), emit)
+        with_contention_retry(lambda: bench_eval(_flagship_cfg(), emit))
     elif args.mode == "train":
-        bench_train(_flagship_cfg(), emit)
+        with_contention_retry(lambda: bench_train(_flagship_cfg(), emit))
     elif args.mode == "shufflenetv2":
-        bench_shufflenetv2(emit)
+        with_contention_retry(lambda: bench_shufflenetv2(emit))
     elif args.mode == "int8":
-        bench_int8(emit)
+        with_contention_retry(lambda: bench_int8(emit))
     elif args.mode == "int8_spatial":
-        bench_int8(emit, spatial=True)
+        with_contention_retry(lambda: bench_int8(emit, spatial=True))
     elif args.mode == "pipeline":
-        bench_pipeline(_flagship_cfg(), emit)
+        with_contention_retry(lambda: bench_pipeline(_flagship_cfg(), emit))
     elif args.mode == "mfu":
-        bench_mfu(_flagship_cfg(), emit)
-        bench_train_mfu(_flagship_cfg(), emit)
+        with_contention_retry(lambda: bench_mfu(_flagship_cfg(), emit))
+        with_contention_retry(lambda: bench_train_mfu(_flagship_cfg(), emit))
     else:
         # One failing mode (e.g. co-tenant RESOURCE_EXHAUSTED on the shared
         # dev chip) must not take down the rest of the sweep: emit an error
