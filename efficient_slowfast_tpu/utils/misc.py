@@ -57,6 +57,46 @@ def get_flop_stats(model, cfg, example_inputs, train: bool = False) -> float:
     return float(cost.get("flops", 0.0)) if cost else 0.0
 
 
+def get_activation_stats(model, cfg, example_inputs, train: bool = False,
+                         ) -> float:
+    """Activation count: total elements produced by conv/matmul ops in one
+    forward (the fvcore ActivationCountAnalysis definition the reference
+    logs, misc.py:109-150 "Activations"). Counted from the traced jaxpr —
+    no compile, and the count is the compiled program's truth rather than
+    a per-module estimate."""
+    import functools
+
+    def fwd(variables, x):
+        return model.apply(variables, x, train=train)
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        {"params": rng, "dropout": rng}, example_inputs,
+    )
+    jaxpr = jax.make_jaxpr(fwd)(variables, example_inputs)
+
+    counted = ("conv_general_dilated", "dot_general")
+    total = 0
+
+    def walk(jpr):
+        nonlocal total
+        for eqn in jpr.eqns:
+            if eqn.primitive.name in counted:
+                total += sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
+            # pjit/remat/scan/cond/custom_vjp carry inner jaxprs in params
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr", "branches"):
+                inner = eqn.params.get(key)
+                if inner is None:
+                    continue
+                for j in (inner if isinstance(inner, (list, tuple))
+                          else [inner]):
+                    walk(getattr(j, "jaxpr", j))
+
+    walk(jaxpr.jaxpr)
+    return float(total)
+
+
 def flops_per_layer_table(model, example_inputs, train: bool = False) -> str:
     """Per-module params/FLOPs breakdown as a rendered table string.
 
@@ -64,7 +104,10 @@ def flops_per_layer_table(model, example_inputs, train: bool = False) -> str:
     the reference's ptflops per-layer stat dump
     (reference: misc.py:153-162 log_model_flops_per_layer) — per-module
     forward FLOPs come from XLA cost analysis of each submodule, so the
-    numbers are the compiled truth rather than an op-count model.
+    numbers are the compiled truth rather than an op-count model. The
+    table's per-module input/output shape columns also serve the role of
+    the reference heads' printed shape traces (head_helper.py:225-265
+    forward_debug).
     """
     import flax.linen as nn
 
@@ -106,6 +149,11 @@ def log_model_info(model, cfg, state, example_inputs):
         logger.info("Flops: %.2f G", flops / 1e9)
     except Exception as e:
         logger.warning("Flop analysis unavailable: %s", e)
+    try:
+        acts = get_activation_stats(model, cfg, example_inputs)
+        logger.info("Activations: %.2f M", acts / 1e6)
+    except Exception as e:
+        logger.warning("Activation analysis unavailable: %s", e)
     if cfg.TPU.LOG_FLOPS_PER_LAYER:
         try:
             logger.info("\n%s", flops_per_layer_table(model, example_inputs))

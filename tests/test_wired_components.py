@@ -152,6 +152,43 @@ def test_flops_per_layer_table(rng):
     assert "s1" in table and "head" in table
 
 
+def test_activation_stats_counts_conv_outputs(rng):
+    """log_model_info's activation count (reference misc.py logs fvcore
+    ActivationCountAnalysis: elements produced by conv/matmul ops). Checked
+    exactly on a single known conv, and for sanity on a full model."""
+    import flax.linen as nn
+
+    from efficient_slowfast_tpu.utils.misc import get_activation_stats
+
+    class OneConv(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    x = jnp.ones((2, 8, 8, 3))
+    acts = get_activation_stats(OneConv(), None, x)
+    assert acts == 2 * 8 * 8 * 4  # one conv output, exactly
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    inputs = [jnp.ones((1, t // cfg.SLOWFAST.ALPHA, s, s, 3)),
+              jnp.ones((1, t, s, s, 3))]
+    acts = get_activation_stats(model, cfg, inputs)
+    # every pathway stage produces conv activations; the stem alone emits
+    # more elements than the input clip
+    assert acts > sum(int(np.prod(i.shape)) for i in inputs)
+
+
 def test_wheel_gray_alias_and_explicit_list_paths(tmp_path):
     """DATASET wheel_gray (reference configs' Wheel_GRAY) forces the
     gray-style pipeline, and DATA.PATH_TO_TRAIN/VAL_DATA_TXT point the
