@@ -23,8 +23,10 @@ Extra modes (each prints its own JSON line; `--mode all` prints all):
                        too (the whole conv stack int8)
   --mode pipeline      eval loop fed by the synthetic loader through
                        prefetch_to_device (host decode/collate overlap on)
-  --mode mfu           model FLOPs utilization of the eval forward from XLA
-                       cost analysis vs the chip's nominal bf16 peak
+  --mode mfu           TWO JSON lines: model FLOPs utilization of the eval
+                       forward AND of the full train step (each from XLA
+                       cost analysis vs the chip's nominal bf16 peak; the
+                       train line runs a full train-step measurement)
 
 vs_baseline compares against an A100 PyTorch estimate for the same model
 (~135 clips/s for SlowFast-R50 eval fwd at 256², fp16, batch-optimal; no

@@ -6,4 +6,4 @@ one jitted train step, pjit/shard_map data parallelism over a device mesh,
 fused on-device preprocessing, and a native C++ FFmpeg decode stage.
 """
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"

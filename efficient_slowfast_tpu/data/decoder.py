@@ -32,6 +32,16 @@ def _lib_path() -> str:
 
 def _build_lib() -> None:
     csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    if not os.path.isdir(csrc):
+        # installed wheels bundle the prebuilt .so as package data; if it is
+        # missing AND there is no source tree to rebuild from, say so
+        # plainly instead of failing inside make
+        raise RuntimeError(
+            f"native decoder library {_lib_path()} is missing and the csrc/ "
+            "source tree is not present (installed copy?). Reinstall the "
+            "package (wheels bundle the library), or build from a source "
+            "checkout / the sdist, which includes csrc/."
+        )
     logger.info("Building native decoder (make -C %s)...", csrc)
     subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
 

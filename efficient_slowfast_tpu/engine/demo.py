@@ -249,15 +249,20 @@ def demo(cfg, stream=None, display=None):
     # capture stream directly.
     if stream is None and _is_camera_source(cfg.DEMO.DATA_SOURCE):
         capture = _open_camera(cfg)
-        out_fps = _capture_fps(capture) / cfg.DATA.SAMPLING_RATE
+        # camera windows buffer raw capture frames (no TARGET_FPS resample),
+        # so both playback rate AND the logged window timestamps follow the
+        # capture rate, not TARGET_FPS
+        src_fps = _capture_fps(capture)
+        out_fps = src_fps / cfg.DATA.SAMPLING_RATE
         stream = camera_window_stream(cfg, capture)
     else:
         if stream is None:
             info = decoder.probe(cfg.DEMO.DATA_SOURCE)
             assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
             stream = file_window_stream(cfg, info)
-        out_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
-    clip_len_s = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE / cfg.DATA.TARGET_FPS
+        src_fps = cfg.DATA.TARGET_FPS  # decoder resamples files to TARGET_FPS
+        out_fps = src_fps / cfg.DATA.SAMPLING_RATE
+    clip_len_s = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE / src_fps
 
     short = cfg.DATA.TEST_CROP_SIZE
     results = []
@@ -266,10 +271,11 @@ def demo(cfg, stream=None, display=None):
     if display is None:
         display, close_display = _make_display(cfg)
     rep = replicated(mesh)
-    if not cfg.TPU.INT8_EVAL:
+    if not cfg.TPU.INT8_EVAL or "quant" in variables:
         # warm up the compiled preprocess+forward on a dummy window so the
-        # first window's FPS overlay measures inference, not compilation.
-        # (int8 path: the uncalibrated forward can't run — it calibrates on
+        # first window's FPS overlay measures inference, not compilation —
+        # including int8 runs that loaded a persisted calibration above.
+        # (uncalibrated int8: the forward can't run yet — it calibrates on
         # the first real window instead, whose FPS includes the compile)
         _warm = np.zeros((cfg.DATA.NUM_FRAMES, short, short * 2, 3), np.uint8)
         _ = fwd(variables, preprocess(
@@ -349,11 +355,9 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
 
     info = decoder.probe(cfg.DEMO.DATA_SOURCE)
     assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
-    fps = info["fps"] or 30.0
     clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
                   / cfg.DATA.TARGET_FPS)
-    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
-    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
+    stream = file_window_stream(cfg, info)  # one window source, both paths
 
     short = cfg.DATA.TEST_CROP_SIZE
     rep = replicated(mesh)
@@ -368,10 +372,11 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     from ..data.datasets import canvas_width
 
     _wc = canvas_width(short)
-    if not cfg.TPU.INT8_EVAL:
+    if not cfg.TPU.INT8_EVAL or "quant" in variables:
         # warm up the compiled preprocess+forward so window 0's FPS overlay
         # measures inference, not compilation (mirrors the classification
-        # path; int8 calibrates on the first real window instead)
+        # path, incl. int8 with a persisted calibration; uncalibrated int8
+        # calibrates on the first real window instead)
         _ = fwd(variables,
                 preprocess(jax.device_put(
                     np.zeros((1, cfg.DATA.NUM_FRAMES, short, _wc, 3),
@@ -379,11 +384,10 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
                     rep)),
                 jax.device_put(np.zeros((1, MAX_BOXES, 4), np.float32), rep))
     t0 = time.time()
-    t_prev = t0
     try:
         _detection_window_loop(
             cfg, model, variables, fwd, preprocess, rep, boxes_by_window,
-            num_windows, short, _wc, clip_len_s, labels, results, writer,
+            stream, short, _wc, clip_len_s, labels, results, writer,
             display)
     finally:
         close_display()
@@ -400,21 +404,13 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
 
 
 def _detection_window_loop(cfg, model, variables, fwd, preprocess, rep,
-                           boxes_by_window, num_windows, short, _wc,
+                           boxes_by_window, stream, short, _wc,
                            clip_len_s, labels, results, writer, display):
     from ..data.ava_dataset import MAX_BOXES
     from ..data.datasets import fit_canvas
 
     t_prev = time.time()
-    for widx in range(num_windows):
-        frames = decoder.decode_clip(
-            cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
-            clip_idx=widx, num_clips=num_windows,
-            target_fps=cfg.DATA.TARGET_FPS, short_side=short,
-            random_clip=False,
-        )
-        if frames is None:
-            continue
+    for widx, frames in stream:
         canvas, width = fit_canvas(frames, short)
         nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
         if len(nboxes) == 0:
