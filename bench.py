@@ -77,6 +77,15 @@ def _flagship_cfg():
     return cfg
 
 
+def _is_transient_oom(e: Exception) -> bool:
+    """True for allocation failures worth retrying/downsizing (co-tenant
+    HBM pressure on the shared dev chip, or a genuinely too-big footprint);
+    everything else is a real error and must surface immediately."""
+    return ("RESOURCE_EXHAUSTED" in str(e)
+            or "Out of memory" in str(e)
+            or "ResourceExhausted" in type(e).__name__)
+
+
 def _sync(o):
     """block_until_ready is unreliable on tunneled platforms; a host fetch
     of a reduction is an unambiguous execution barrier."""
@@ -265,22 +274,12 @@ def bench_int8(emit, spatial=False):
     model = build_model(cfg)
     state, _ = create_train_state(cfg, model, rng)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    # the shared dev chip sees transient HBM pressure from other tenants —
-    # retry the calibration prologue with backoff before giving up
-    for attempt in range(5):
-        try:
-            acc_inputs = _eval_inputs(cfg, acc_batch)
-            variables_q = calibrate_int8(model, variables, [acc_inputs])
-            fwd = make_forward(cfg, model)
-            y_q = np.asarray(jax.device_get(fwd(variables_q, acc_inputs)))
-            break
-        except Exception:
-            if on_cpu or attempt == 4:
-                raise
-            jax.clear_caches()
-            gc.collect()
-            time.sleep(30)
-    variables = variables_q
+    # transient co-tenant HBM pressure here propagates to the caller's
+    # with_contention_retry — ONE retry policy, owned by the wrapper
+    acc_inputs = _eval_inputs(cfg, acc_batch)
+    variables = calibrate_int8(model, variables, [acc_inputs])
+    fwd = make_forward(cfg, model)
+    y_q = np.asarray(jax.device_get(fwd(variables, acc_inputs)))
     # free the calibration batch's device buffers before the batch-256
     # run (y_q is already on host; _eval_inputs is deterministic, the
     # accuracy-proxy section regenerates the same inputs)
@@ -290,7 +289,8 @@ def bench_int8(emit, spatial=False):
     # the quantized graph holds int8 copies NEXT TO the bf16 residuals, so
     # its peak HBM is higher than the fp forward's — fall back one batch
     # step on OOM rather than fail (letting async frees settle first); the
-    # achieved batch is reported in the metric line
+    # achieved batch is reported in the metric line. Non-OOM errors raise
+    # immediately (this loop is a footprint fallback, not a retry policy).
     iters = 3 if on_cpu else 10
     inputs = None
     while True:
@@ -304,8 +304,8 @@ def bench_int8(emit, spatial=False):
             _sync(out)
             dt = time.perf_counter() - t0
             break
-        except Exception:
-            if on_cpu or batch <= 16:
+        except Exception as e:
+            if on_cpu or batch <= 16 or not _is_transient_oom(e):
                 raise
             inputs = None
             jax.clear_caches()
@@ -515,6 +515,10 @@ def main():
                              "int8_spatial", "pipeline", "mfu", "all"])
     args = ap.parse_args()
 
+    from efficient_slowfast_tpu.utils.env import honor_jax_platforms
+
+    honor_jax_platforms()  # JAX_PLATFORMS=cpu must win over the site pin
+
     import jax
 
     try:  # persistent compile cache makes repeat bench runs near-instant
@@ -550,9 +554,7 @@ def main():
             try:
                 return fn()
             except Exception as e:
-                transient = "RESOURCE_EXHAUSTED" in str(e) or \
-                    "ResourceExhausted" in type(e).__name__
-                if not transient or time.monotonic() > deadline:
+                if not _is_transient_oom(e) or time.monotonic() > deadline:
                     raise
                 print(f"bench: chip busy ({type(e).__name__}), retrying "
                       f"until budget expires", file=sys.stderr, flush=True)
@@ -578,11 +580,12 @@ def main():
         with_contention_retry(lambda: bench_train_mfu(_flagship_cfg(), emit))
     else:
         # One failing mode (e.g. co-tenant RESOURCE_EXHAUSTED on the shared
-        # dev chip) must not take down the rest of the sweep: emit an error
-        # line for it and keep going.
+        # dev chip) must not take down the rest of the sweep: each mode gets
+        # the shared contention-retry policy, and a mode that still fails
+        # emits an error line and lets the sweep continue.
         def guarded(name, fn):
             try:
-                return fn()
+                return with_contention_retry(fn)
             except Exception as e:  # noqa: BLE001 — survey mode
                 emit({"metric": name, "error": f"{type(e).__name__}: {e}"
                       [:300]})

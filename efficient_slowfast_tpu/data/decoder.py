@@ -30,17 +30,19 @@ def _lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), "libesf_decode.so")
 
 
-def _build_lib() -> None:
+def _build_lib(reason: str = "is missing") -> None:
     csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
     if not os.path.isdir(csrc):
-        # installed wheels bundle the prebuilt .so as package data; if it is
-        # missing AND there is no source tree to rebuild from, say so
-        # plainly instead of failing inside make
+        # wheels are platform-tagged and build the library at package time
+        # (setup.py); if the installed copy is unusable AND there is no
+        # source tree to rebuild from, say so plainly instead of failing
+        # inside make
         raise RuntimeError(
-            f"native decoder library {_lib_path()} is missing and the csrc/ "
+            f"native decoder library {_lib_path()} {reason} and the csrc/ "
             "source tree is not present (installed copy?). Reinstall the "
-            "package (wheels bundle the library), or build from a source "
-            "checkout / the sdist, which includes csrc/."
+            "package from a wheel built for this platform, or install from "
+            "the sdist / a source checkout, which include csrc/ and rebuild "
+            "the library locally (requires g++ and the FFmpeg dev libs)."
         )
     logger.info("Building native decoder (make -C %s)...", csrc)
     subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
@@ -54,7 +56,23 @@ def get_lib() -> ctypes.CDLL:
         path = _lib_path()
         if not os.path.exists(path):
             _build_lib()
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:
+            # a stale or wrong-platform binary (e.g. a linux-x86_64 .so on
+            # another platform/ABI): rebuild from source when the tree is
+            # available; _build_lib raises a plain-language error otherwise
+            logger.warning(
+                "native decoder at %s failed to load (%s); rebuilding from "
+                "csrc/", path, e)
+            # remove the bad binary first: make is timestamp-driven and
+            # would otherwise consider the unloadable file up-to-date
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            _build_lib(reason="failed to load (wrong platform or stale?)")
+            lib = ctypes.CDLL(path)
         lib.esf_decode_clip.restype = ctypes.c_int
         lib.esf_decode_clip.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,

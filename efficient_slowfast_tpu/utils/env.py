@@ -10,6 +10,30 @@ def setup_environment():
     pass
 
 
+def honor_jax_platforms():
+    """Make ``JAX_PLATFORMS`` work even when a site hook pre-imported jax.
+
+    jax reads the env var only at first import; a sitecustomize that
+    initializes jax first (e.g. to pin a tunneled TPU plugin) silently
+    swallows it, so ``JAX_PLATFORMS=cpu python ...`` would still run on the
+    pinned backend. Calling this before first backend use re-applies the
+    requested platform; it is a no-op when jax already picked it, and a
+    logged no-op when the backend is already initialized (too late to
+    switch). Shared by every entry point (tools/run_net.py, bench.py,
+    tools/benchmark.py) so the workaround cannot drift per-script.
+    """
+    import os
+
+    if not os.environ.get("JAX_PLATFORMS"):
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized — too late to switch
+
+
 def machine_cache_dir(base: str) -> str:
     """Suffix a compile-cache dir with a hash of the host CPU feature set.
 
@@ -18,14 +42,25 @@ def machine_cache_dir(base: str) -> str:
     SIGILL") — after a VM migration the stale blobs execute with mismatched
     machine features and can compute garbage (observed: nondeterministic
     NaNs in training that vanish with a fresh cache). Keying the directory
-    by the CPU flags turns a migration into a cache miss instead. Shared by
-    tests/conftest.py and bench.py so the scheme cannot diverge.
+    by the CPU identity turns a migration into a cache miss instead. Shared
+    by tests/conftest.py and bench.py so the scheme cannot diverge.
+
+    The key covers the flags line AND the model name: LLVM derives tuning
+    features like ``prefer-no-scatter/gather`` from the CPU *model*, so two
+    hosts with identical flags can still produce (and refuse/mis-load) each
+    other's AOT blobs — observed as cpu_aot_loader "machine type doesn't
+    match" errors after a migration that preserved the flags hash.
     """
     import hashlib
 
+    ident = ""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    ident += line
+                    if ident.count("\n") >= 2:
+                        break
     except OSError:
-        flags = ""
-    return f"{base}-{hashlib.sha1(flags.encode()).hexdigest()[:10]}"
+        pass
+    return f"{base}-{hashlib.sha1(ident.encode()).hexdigest()[:10]}"

@@ -63,7 +63,10 @@ def get_activation_stats(model, cfg, example_inputs, train: bool = False,
     forward (the fvcore ActivationCountAnalysis definition the reference
     logs, misc.py:109-150 "Activations"). Counted from the traced jaxpr —
     no compile, and the count is the compiled program's truth rather than
-    a per-module estimate."""
+    a per-module estimate. Control flow: scan bodies are multiplied by the
+    trip count, cond counts its largest branch (upper bound), while_loop
+    counts one body iteration (lower bound; trip count is data-dependent).
+    """
     import functools
 
     def fwd(variables, x):
@@ -77,24 +80,37 @@ def get_activation_stats(model, cfg, example_inputs, train: bool = False,
     jaxpr = jax.make_jaxpr(fwd)(variables, example_inputs)
 
     counted = ("conv_general_dilated", "dot_general")
-    total = 0
 
-    def walk(jpr):
-        nonlocal total
+    def count(jpr) -> int:
+        total = 0
         for eqn in jpr.eqns:
-            if eqn.primitive.name in counted:
+            name = eqn.primitive.name
+            if name in counted:
                 total += sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
-            # pjit/remat/scan/cond/custom_vjp carry inner jaxprs in params
-            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr", "branches"):
-                inner = eqn.params.get(key)
-                if inner is None:
-                    continue
-                for j in (inner if isinstance(inner, (list, tuple))
-                          else [inner]):
-                    walk(getattr(j, "jaxpr", j))
+            elif name == "scan":
+                # the body executes `length` times in the compiled program
+                # (e.g. the chunked-attention fallback, ops/options.py)
+                total += int(eqn.params["length"]) * count(
+                    eqn.params["jaxpr"].jaxpr)
+            elif name == "cond":
+                # exactly one branch executes; count the largest (an upper
+                # bound, matching fvcore's static-analysis spirit)
+                total += max((count(b.jaxpr)
+                              for b in eqn.params["branches"]), default=0)
+            elif name == "while":
+                # trip count is data-dependent: count one body+cond
+                # iteration (a documented lower bound)
+                total += count(eqn.params["body_jaxpr"].jaxpr)
+                total += count(eqn.params["cond_jaxpr"].jaxpr)
+            else:
+                # pjit/remat/custom_vjp/etc. carry inner jaxprs in params
+                for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                    inner = eqn.params.get(key)
+                    if inner is not None:
+                        total += count(getattr(inner, "jaxpr", inner))
+        return total
 
-    walk(jaxpr.jaxpr)
-    return float(total)
+    return float(count(jaxpr.jaxpr))
 
 
 def flops_per_layer_table(model, example_inputs, train: bool = False) -> str:

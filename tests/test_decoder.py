@@ -71,6 +71,46 @@ def test_decode_failure_returns_none(tmp_path):
     assert decoder.decode_clip(str(bad), 8, 2, 0, 10, 30, 64, False) is None
 
 
+def test_unloadable_library_is_rebuilt(tmp_path):
+    """A stale or wrong-platform .so (e.g. a linux binary installed on
+    another ABI) must be rebuilt from csrc/ on load failure, not crash
+    ctypes — the installed-wheel recovery path.
+
+    Runs in a subprocess: dlopen caches by path, so a process that already
+    loaded the good library (this one, via earlier tests) would get the old
+    handle back instead of reading the corrupted file. The corruption itself
+    goes through os.replace (a new inode) so this process's live mapping of
+    the old library stays intact.
+    """
+    import subprocess
+    import sys
+
+    path = decoder._lib_path()
+    with open(path, "rb") as f:
+        good = f.read()
+    garbage = tmp_path / "garbage.so"
+    garbage.write_bytes(b"garbage, not an ELF")
+    try:
+        os.replace(garbage, path)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, '/root/repo')\n"
+             "from efficient_slowfast_tpu.data import decoder\n"
+             "lib = decoder.get_lib()\n"
+             "assert lib.esf_probe is not None\n"
+             "print('REBUILT_OK')\n"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "REBUILT_OK" in proc.stdout
+        assert os.path.getsize(path) > 1000  # really rebuilt
+    finally:
+        if not os.path.exists(path) or os.path.getsize(path) < 1000:
+            restore = tmp_path / "restore.so"
+            restore.write_bytes(good)
+            os.replace(restore, path)
+
+
 def test_kinetics_dataset_end_to_end(fixture_video, tmp_path):
     """List-file dataset → native decode → canvas sample (kinetics.py flow)."""
     from efficient_slowfast_tpu.config import get_cfg

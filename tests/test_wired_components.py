@@ -189,6 +189,42 @@ def test_activation_stats_counts_conv_outputs(rng):
     assert acts > sum(int(np.prod(i.shape)) for i in inputs)
 
 
+def test_activation_stats_control_flow(rng):
+    """Control-flow semantics of the jaxpr walker: a scan body counts
+    trip-count times (the compiled program executes it that often — e.g.
+    the chunked-attention fallback), and cond counts only its largest
+    branch (exactly one branch runs)."""
+    import flax.linen as nn
+    from jax import lax
+
+    from efficient_slowfast_tpu.utils.misc import get_activation_stats
+
+    class ScanDot(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            w = self.param("w", nn.initializers.ones, (4, 4))
+
+            def body(c, _):
+                return c @ w, None
+
+            y, _ = lax.scan(body, x, None, length=5)
+            return y
+
+    x = jnp.ones((2, 4))
+    assert get_activation_stats(ScanDot(), None, x) == 5 * 2 * 4
+
+    class CondDot(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            w_small = self.param("ws", nn.initializers.ones, (4, 2))
+            w_big = self.param("wb", nn.initializers.ones, (4, 8))
+            return lax.cond(x.sum() > 0,
+                            lambda q: (q @ w_big).sum(),
+                            lambda q: (q @ w_small).sum(), x)
+
+    assert get_activation_stats(CondDot(), None, x) == 2 * 8
+
+
 def test_wheel_gray_alias_and_explicit_list_paths(tmp_path):
     """DATASET wheel_gray (reference configs' Wheel_GRAY) forces the
     gray-style pipeline, and DATA.PATH_TO_TRAIN/VAL_DATA_TXT point the

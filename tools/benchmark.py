@@ -6,6 +6,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from efficient_slowfast_tpu.utils.env import honor_jax_platforms
+
+honor_jax_platforms()
+
 from efficient_slowfast_tpu.config.parser import load_config, parse_args
 from efficient_slowfast_tpu.utils.benchmark import benchmark_data_loading
 from efficient_slowfast_tpu.utils.misc import launch_job

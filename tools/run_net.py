@@ -11,17 +11,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Honor JAX_PLATFORMS even when a site hook pre-imported jax pinned to a
-# different platform (jax only reads the env var at first import, so a
-# sitecustomize that initializes jax first silently swallows it). No-op on
-# machines where jax already picked the requested platform.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from efficient_slowfast_tpu.utils.env import honor_jax_platforms
 
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass  # backend already initialized — too late to switch
+honor_jax_platforms()
 
 from efficient_slowfast_tpu.config.parser import load_config, parse_args
 from efficient_slowfast_tpu.utils.misc import launch_job
