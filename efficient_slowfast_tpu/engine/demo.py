@@ -233,8 +233,9 @@ def demo(cfg, stream=None, display=None):
 
     labels = None
     if cfg.DEMO.LABEL_FILE_PATH:
-        with open(cfg.DEMO.LABEL_FILE_PATH) as f:
-            labels = [line.strip() for line in f if line.strip()]
+        from ..utils.misc import load_demo_labels
+
+        labels = load_demo_labels(cfg.DEMO.LABEL_FILE_PATH)
 
     if cfg.DETECTION.ENABLE:
         return _demo_detection(cfg, model, variables, mesh, labels,

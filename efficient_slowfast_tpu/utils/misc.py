@@ -202,3 +202,25 @@ def get_class_names(path, parent_path=None, subset_path=None):
         with open(subset_path, "r") as f:
             subset = [line.strip() for line in f]
     return names, parent, subset
+
+
+def load_demo_labels(path):
+    """Class-id → name list for DEMO.LABEL_FILE_PATH.
+
+    Accepts both label formats the reference demo ships and reads
+    (tools/demo_net.py:141-150): an ``id,name`` CSV (Kinetics/Jester —
+    names taken in ROW order, matching the reference's
+    ``pd.read_csv(...)["name"].values``; the id column is ignored, so
+    Jester's 1-based ids still map class k to row k) and a plain
+    name-per-line file (AVA ``.names``).
+    """
+    with open(path) as f:
+        lines = [line.rstrip("\n") for line in f if line.strip()]
+    if not lines:
+        return []
+    header = [c.strip().lower() for c in lines[0].split(",")]
+    if "name" in header and len(header) > 1:
+        col = header.index("name")
+        return [line.split(",", len(header) - 1)[col].strip()
+                for line in lines[1:]]
+    return [line.strip() for line in lines]

@@ -1,0 +1,8 @@
+#!/bin/bash
+# slowfast shufflenetv2 w2.0
+# (reference: wdf_all_run_scripts/run_shufflenetv2_w2.sh — NUM_GPUS here is the TPU chip
+# count the job shards over; see docs/GETTING_STARTED.md)
+set -e
+ROOT_PATH="$(cd "$(dirname "$0")/.." && pwd)"
+
+python "$ROOT_PATH/tools/run_net.py" --cfg "$ROOT_PATH/configs/Kinetics/SLOWFAST_SHUFFLENETV2_8x8_R50_stepwise_multigrid.yaml" NUM_GPUS 4 SLOWFAST.WIDTH_MULTI 2.0 TRAIN.BATCH_SIZE 256 DATA_LOADER.NUM_WORKERS 16

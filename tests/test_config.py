@@ -84,14 +84,15 @@ import pytest
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _ALL_YAMLS = sorted(
     glob.glob(os.path.join(_REPO, "configs", "**", "*.yaml"), recursive=True)
+    # the demo/ exemplars are full configs too (reference demo/ yamls)
+    + glob.glob(os.path.join(_REPO, "demo", "**", "*.yaml"), recursive=True)
 )
 assert _ALL_YAMLS, "config zoo missing"
 
 
 @pytest.mark.parametrize(
     "yaml_path", _ALL_YAMLS,
-    ids=[os.path.relpath(p, os.path.join(_REPO, "configs"))
-         for p in _ALL_YAMLS],
+    ids=[os.path.relpath(p, _REPO) for p in _ALL_YAMLS],
 )
 def test_every_config_builds_and_eval_shapes(yaml_path):
     from efficient_slowfast_tpu.config import assert_and_infer_cfg, get_cfg

@@ -1,6 +1,7 @@
 """Visualization tests: Grad-CAM interception + plot utils."""
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -60,3 +61,35 @@ def test_confusion_matrix_and_plots():
     assert fig is not None
     fig2 = plot_topk_histogram(1, cm[1], topk=2)
     assert fig2 is not None
+
+
+def test_gradcam_video_tool_end_to_end(tmp_path):
+    """tools/gradcam_video CLI core: decode → Grad-CAM → overlay mp4 + GIF
+    per pathway (reference wdf_visualization/gradcam_video.py flow)."""
+    from efficient_slowfast_tpu.config import assert_and_infer_cfg
+    from efficient_slowfast_tpu.data import decoder
+    from efficient_slowfast_tpu.visualization.video_cam import gradcam_video
+
+    video = str(tmp_path / "clip.mp4")
+    frames = np.zeros((48, 48, 64, 3), np.uint8)
+    frames[:, :, :, 1] = np.arange(48, dtype=np.uint8)[:, None, None] * 3
+    decoder.write_test_video(video, frames, fps=30)
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg = assert_and_infer_cfg(cfg)
+
+    result = gradcam_video(cfg, video, "s3", write_gif=True,
+                           out_dir=str(tmp_path / "cam"))
+    assert result["predictions"].shape == (1, cfg.MODEL.NUM_CLASSES)
+    # two pathways × (mp4 + gif)
+    assert len(result["outputs"]) == 4
+    for p in result["outputs"]:
+        assert os.path.getsize(p) > 0
+    # the mp4s decode back at the pathway frame counts
+    infos = [decoder.probe(p) for p in result["outputs"]
+             if p.endswith(".mp4")]
+    t_fast = cfg.DATA.NUM_FRAMES
+    t_slow = t_fast // cfg.SLOWFAST.ALPHA
+    assert sorted(i["nb_frames"] for i in infos) == [t_slow, t_fast]

@@ -258,3 +258,30 @@ def test_wheel_gray_alias_and_explicit_list_paths(tmp_path):
     # val split resolves through PATH_TO_VAL_DATA_TXT
     ds_val = build_dataset("wheel_gray", cfg, "val")
     assert ds_val._labels[0] == 0
+
+
+def test_load_demo_labels_formats(tmp_path):
+    """Both reference demo label formats parse (demo_net.py:141-150):
+    id,name CSV (Kinetics/Jester — row order, id column ignored even when
+    1-based) and plain name-per-line (AVA .names)."""
+    from efficient_slowfast_tpu.utils.misc import load_demo_labels
+
+    csv = tmp_path / "labels.csv"
+    csv.write_text("id,name\n1,Doing_other_things\n2,Drumming_Fingers\n")
+    assert load_demo_labels(str(csv)) == [
+        "Doing_other_things", "Drumming_Fingers"]
+
+    names = tmp_path / "ava.names"
+    names.write_text("bend/bow (at the waist)\ncrawl\n")
+    assert load_demo_labels(str(names)) == [
+        "bend/bow (at the waist)", "crawl"]
+
+    # a name containing commas survives (CSV split is bounded)
+    csv2 = tmp_path / "c.csv"
+    csv2.write_text("id,name\n0,eating, drinking\n")
+    assert load_demo_labels(str(csv2)) == ["eating, drinking"]
+
+    # the shipped label files parse to their class counts
+    assert len(load_demo_labels("demo/Kinetics/kinetics_400_labels.csv")) == 400
+    assert len(load_demo_labels("demo/Jester/jester_27_labels.csv")) == 27
+    assert len(load_demo_labels("demo/AVA/ava.names")) == 80
