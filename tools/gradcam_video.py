@@ -30,9 +30,13 @@ def main():
     ap.add_argument("--cfg", required=True, help="Path to config yaml.")
     ap.add_argument("--video", required=True, help="Video file to explain.")
     ap.add_argument("--target-layer", default="s5",
-                    help="Slash-joined flax module path (s4, s5, "
-                         "s4/pathway1_res3, ... — reference offers the "
-                         "stage/fuse layer names).")
+                    help="Slash-joined flax module path. Stage names per "
+                         "family (reference README 'Visualize (Grad-CAM)'): "
+                         "ResNet-SlowFast/CMDA expose s1..s5 + s{1..4}_fuse; "
+                         "the efficient backbones (ShuffleNet/V2, GhostNet, "
+                         "MobileNetV2) expose s1..s4 + s{1..3}_fuse — their "
+                         "last stage is s4, so use --target-layer s4 there. "
+                         "Deeper paths like s4/pathway1_res3 also work.")
     ap.add_argument("--target-class", type=int, default=None,
                     help="Class index to explain (default: the argmax).")
     ap.add_argument("--out-dir", default=None,
