@@ -21,6 +21,9 @@ Extra modes (each prints its own JSON line; `--mode all` prints all):
                        pointwise convs) + accuracy proxy vs the fp forward
   --mode int8_spatial  TPU.INT8_SPATIAL on top: the k>1 convs quantized
                        too (the whole conv stack int8)
+  --mode export        AOT serving artifact (engine/export.py): exported
+                       StableHLO forward timed at the bench_eval operating
+                       point — must match the live jit
   --mode pipeline      eval loop fed by the synthetic loader through
                        prefetch_to_device (host decode/collate overlap on)
   --mode mfu           TWO JSON lines: model FLOPs utilization of the eval
@@ -237,6 +240,56 @@ def bench_shufflenetv2(emit):
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": None,
+    })
+    return value
+
+
+def bench_export(emit):
+    """AOT serving artifact (engine/export.py): export the flagship
+    serving forward, deserialize, and time the exported call on the same
+    inputs as bench_eval — the artifact must serve at live-jit parity
+    (it is the same XLA program, reloaded without the model zoo)."""
+    import tempfile
+
+    import jax
+
+    from efficient_slowfast_tpu.engine.export import (export_serving,
+                                                      load_serving)
+    from efficient_slowfast_tpu.engine.state import create_train_state
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = _flagship_cfg()
+    if on_cpu:
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.DATA.CROP_SIZE = 32
+        cfg.DATA.TEST_CROP_SIZE = 32
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as td:
+        path = export_serving(cfg, state, os.path.join(td, "flagship"))
+        size_mb = os.path.getsize(path) / 1e6
+        serving = load_serving(path)
+        del state, model
+        batch = 2 if on_cpu else 256  # same operating point as bench_eval
+        inputs = _eval_inputs(cfg, batch)
+        _sync(serving._exported.call(inputs))  # compile + warmup
+        _sync(serving._exported.call(inputs))
+        iters = 3 if on_cpu else 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = serving._exported.call(inputs)
+        _sync(out)
+        dt = time.perf_counter() - t0
+
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "SlowFast-R50 AOT serving-artifact eval throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "artifact_mb": round(size_mb, 1),
     })
     return value
 
@@ -512,7 +565,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
                     choices=["eval", "train", "shufflenetv2", "int8",
-                             "int8_spatial", "pipeline", "mfu", "all"])
+                             "int8_spatial", "export", "pipeline", "mfu",
+                             "all"])
     args = ap.parse_args()
 
     from efficient_slowfast_tpu.utils.env import honor_jax_platforms
@@ -573,6 +627,8 @@ def main():
         with_contention_retry(lambda: bench_int8(emit))
     elif args.mode == "int8_spatial":
         with_contention_retry(lambda: bench_int8(emit, spatial=True))
+    elif args.mode == "export":
+        with_contention_retry(lambda: bench_export(emit))
     elif args.mode == "pipeline":
         with_contention_retry(lambda: bench_pipeline(_flagship_cfg(), emit))
     elif args.mode == "mfu":
@@ -596,6 +652,7 @@ def main():
         guarded("shufflenetv2", lambda: bench_shufflenetv2(emit))
         guarded("int8", lambda: bench_int8(emit))
         guarded("int8_spatial", lambda: bench_int8(emit, spatial=True))
+        guarded("export", lambda: bench_export(emit))
         guarded("pipeline", lambda: bench_pipeline(_flagship_cfg(), emit))
         guarded("mfu", lambda: bench_mfu(
             _flagship_cfg(), emit, eval_clips_per_sec=clips))

@@ -1,7 +1,9 @@
-"""Model visualization (reference: tools/visualization.py:19-110).
+"""Model-input visualization (reference: tools/visualization.py:19-110).
 
-Dumps de-normalized input clips and optional Grad-CAM overlays to TensorBoard
-for TENSORBOARD.MODEL_VIS.ENABLE jobs."""
+Dumps de-normalized input clips to TensorBoard for
+TENSORBOARD.MODEL_VIS.ENABLE jobs — the reference tool's exact scope
+(input inspection only). Grad-CAM lives in the standalone CLI
+(tools/gradcam_video.py, reference wdf_visualization/gradcam_video.py)."""
 
 from __future__ import annotations
 
