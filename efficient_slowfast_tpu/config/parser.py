@@ -53,3 +53,12 @@ def load_config(args) -> CfgNode:
     if cfg.OUTPUT_DIR:
         os.makedirs(os.path.join(cfg.OUTPUT_DIR, "checkpoints"), exist_ok=True)
     return cfg
+
+
+def load_config_from(cfg_file: str, opts=None) -> CfgNode:
+    """``load_config`` for auxiliary CLIs (gradcam_video, export_serving)
+    that define their own argparse surface: same defaults < yaml < opts
+    resolution and validation, no shard/output-dir side channel drift."""
+    import types
+
+    return load_config(types.SimpleNamespace(cfg_file=cfg_file, opts=opts))

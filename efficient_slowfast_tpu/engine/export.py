@@ -31,7 +31,8 @@ logger = get_logger(__name__)
 _SUFFIX = ".jaxserving"
 
 
-def export_serving(cfg, state, out_path: str, platforms=None) -> str:
+def export_serving(cfg, state, out_path: str, platforms=None,
+                   quant=None) -> str:
     """Export the serving forward for ``state`` to ``out_path``.
 
     Args:
@@ -42,6 +43,10 @@ def export_serving(cfg, state, out_path: str, platforms=None) -> str:
       platforms: lowering platforms, e.g. ["tpu"] or ["tpu", "cpu"];
         default = the current default backend. Cross-platform export is
         how a CPU host packages a TPU serving artifact.
+      quant: calibrated ``quant`` collection for TPU.INT8_EVAL exports.
+        When omitted, the calibration persisted by the serving engines
+        (engine.quantize.save_calibration) is loaded and fingerprint-
+        checked; export refuses if neither source yields a calibration.
 
     Returns the written path.
     """
@@ -52,13 +57,18 @@ def export_serving(cfg, state, out_path: str, platforms=None) -> str:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if cfg.TPU.INT8_EVAL:
         from ..ops.conv import quant_is_calibrated
+        from .quantize import calibration_path, load_calibration
 
-        quant = getattr(state, "quant", None)
-        if quant is None and hasattr(state, "get"):
-            quant = state.get("quant")
+        if quant is None:
+            quant = getattr(state, "quant", None)
+        if quant is None:
+            quant = load_calibration(cfg, variables)
         assert quant is not None and quant_is_calibrated({"quant": quant}), (
-            "TPU.INT8_EVAL export needs a calibrated quant collection "
-            "(run engine.quantize.calibrate_int8 first)")
+            "TPU.INT8_EVAL export needs a calibrated quant collection: "
+            "run engine.quantize.calibrate_int8 and pass it as quant=, or "
+            "serve once with TPU.INT8_EVAL so the calibration persists at "
+            f"{calibration_path(cfg)} (a persisted file is also rejected "
+            "when its fingerprint does not match this checkpoint/config)")
         variables["quant"] = quant
 
     fwd = make_forward(cfg, model)

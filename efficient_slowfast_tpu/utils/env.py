@@ -30,8 +30,14 @@ def honor_jax_platforms():
 
     try:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass  # backend already initialized — too late to switch
+    except Exception as e:
+        # backend already initialized — too late to switch; say so, or a
+        # benchmark silently runs on the wrong backend
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "JAX_PLATFORMS=%s ignored: backend already initialized (%s)",
+            os.environ["JAX_PLATFORMS"], e)
 
 
 def machine_cache_dir(base: str) -> str:

@@ -78,9 +78,18 @@ def gradcam_video(cfg, video_path: str, target_layer: str,
     logger.info("Grad-CAM class %d (score %.4f) at layer '%s'",
                 shown, float(preds[0, shown]), target_layer)
 
-    # playback rate: NUM_FRAMES kept frames span NUM_FRAMES*SAMPLING_RATE
-    # source frames at TARGET_FPS (same math as the demo's output path)
-    fps = max(1, round(cfg.DATA.TARGET_FPS / max(cfg.DATA.SAMPLING_RATE, 1)))
+    # A stage-output target yields one CAM per pathway; a deeper
+    # single-tensor target (e.g. "s4/pathway1_res3") yields ONE CAM —
+    # overlay it on every pathway clip (overlay_heatmap interpolates the
+    # CAM's T'/h'/w' grid onto each clip's geometry).
+    if not isinstance(cams, (list, tuple)):
+        cams = [cams] * len(inputs)
+
+    # playback rate: the clip's NUM_FRAMES fast frames span
+    # NUM_FRAMES*SAMPLING_RATE source frames at TARGET_FPS (the demo's
+    # output-path math); a pathway with fewer frames covers the SAME
+    # wall-clock span, so its fps scales by its frame count
+    fast_fps = cfg.DATA.TARGET_FPS / max(cfg.DATA.SAMPLING_RATE, 1)
     stem = os.path.splitext(os.path.basename(video_path))[0]
     safe_layer = target_layer.replace("/", "_")
     outputs = []
@@ -88,6 +97,7 @@ def gradcam_video(cfg, video_path: str, target_layer: str,
         frames = _denormalize(jax.device_get(pathway)[0],
                               cfg.DATA.MEAN, cfg.DATA.STD)
         overlay = overlay_heatmap(frames, cam[0])
+        fps = max(1, round(fast_fps * frames.shape[0] / cfg.DATA.NUM_FRAMES))
         path = os.path.join(
             out_dir, f"gradcam_{stem}_{safe_layer}_pathway{p}.mp4")
         with decoder.VideoEncoder(path, overlay.shape[2], overlay.shape[1],

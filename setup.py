@@ -27,6 +27,14 @@ SO_REL = os.path.join("efficient_slowfast_tpu", "data", "libesf_decode.so")
 class build_py_with_native(build_py):
     def run(self):
         super().run()
+        # a pre-existing tree .so must never reach the wheel: make is
+        # timestamp-driven and would consider a stale/wrong-platform binary
+        # up to date (the exact failure decoder.get_lib works around at
+        # runtime), and package-data has already copied it into build_lib
+        dst = os.path.join(self.build_lib, SO_REL)
+        for p in (os.path.join(ROOT, SO_REL), dst):
+            if os.path.exists(p):
+                os.remove(p)
         csrc = os.path.join(ROOT, "csrc")
         try:
             subprocess.run(["make", "-C", csrc], check=True)
@@ -46,7 +54,6 @@ class build_py_with_native(build_py):
                 "package without it"
             ) from e
         src = os.path.join(ROOT, SO_REL)
-        dst = os.path.join(self.build_lib, SO_REL)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copy2(src, dst)
 

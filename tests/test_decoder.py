@@ -92,9 +92,10 @@ def test_unloadable_library_is_rebuilt(tmp_path):
     garbage.write_bytes(b"garbage, not an ELF")
     try:
         os.replace(garbage, path)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import sys; sys.path.insert(0, '/root/repo')\n"
+             f"import sys; sys.path.insert(0, {repo!r})\n"
              "from efficient_slowfast_tpu.data import decoder\n"
              "lib = decoder.get_lib()\n"
              "assert lib.esf_probe is not None\n"

@@ -83,3 +83,25 @@ def test_export_int8_calibrated_roundtrip(tmp_path):
     want = np.asarray(jax.device_get(
         make_forward(cfg, model)(variables, x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_int8_uses_persisted_calibration(tmp_path):
+    """The CLI path: export_serving with no quant= picks up the
+    calibration persisted by the serving engines (fingerprint-checked)."""
+    from efficient_slowfast_tpu.engine.quantize import (calibrate_int8,
+                                                        save_calibration)
+
+    cfg = _tiny_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TPU.INT8_EVAL = True
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = calibrate_int8(model, variables, [_inputs(cfg, 2)])
+    save_calibration(cfg, variables, variables["quant"])
+
+    path = export_serving(cfg, state, str(tmp_path / "tiny_int8_cli"))
+    serving = load_serving(path)
+    x = _inputs(cfg, 2, seed=3)
+    want = np.asarray(jax.device_get(make_forward(cfg, model)(variables, x)))
+    np.testing.assert_allclose(serving(x), want, rtol=1e-5, atol=1e-5)

@@ -93,3 +93,34 @@ def test_gradcam_video_tool_end_to_end(tmp_path):
     t_fast = cfg.DATA.NUM_FRAMES
     t_slow = t_fast // cfg.SLOWFAST.ALPHA
     assert sorted(i["nb_frames"] for i in infos) == [t_slow, t_fast]
+
+
+def test_gradcam_video_single_tensor_deep_target(tmp_path):
+    """A deep single-tensor target layer (one block, not a stage's pathway
+    list) yields ONE CAM — the tool overlays it on every pathway clip
+    instead of silently iterating the ndarray's batch axis."""
+    from efficient_slowfast_tpu.config import assert_and_infer_cfg
+    from efficient_slowfast_tpu.data import decoder
+    from efficient_slowfast_tpu.visualization.video_cam import gradcam_video
+
+    video = str(tmp_path / "clip.mp4")
+    decoder.write_test_video(video, np.full((48, 48, 64, 3), 90, np.uint8),
+                             fps=30)
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg = assert_and_infer_cfg(cfg)
+
+    result = gradcam_video(cfg, video, "s3/pathway1_block0",
+                           out_dir=str(tmp_path / "cam"))
+    mp4s = [p for p in result["outputs"] if p.endswith(".mp4")]
+    assert len(mp4s) == 2  # still one overlay per pathway
+    infos = [decoder.probe(p) for p in mp4s]
+    t_fast = cfg.DATA.NUM_FRAMES
+    assert sorted(i["nb_frames"] for i in infos) == [
+        t_fast // cfg.SLOWFAST.ALPHA, t_fast]
+    # per-pathway playback rate: both clips span the same wall-clock time
+    fast_fps = cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE
+    want = sorted([round(fast_fps), max(1, round(
+        fast_fps / cfg.SLOWFAST.ALPHA))])
+    assert sorted(round(i["fps"]) for i in infos) == want

@@ -23,7 +23,7 @@ from efficient_slowfast_tpu.utils.env import honor_jax_platforms
 
 honor_jax_platforms()
 
-from efficient_slowfast_tpu.config import assert_and_infer_cfg, get_cfg
+from efficient_slowfast_tpu.config.parser import load_config_from
 
 
 def main():
@@ -39,11 +39,7 @@ def main():
                     help="KEY VALUE config override pairs.")
     args = ap.parse_args()
 
-    cfg = get_cfg()
-    cfg.merge_from_file(args.cfg)
-    if args.opts:
-        cfg.merge_from_list(args.opts)
-    cfg = assert_and_infer_cfg(cfg)
+    cfg = load_config_from(args.cfg, args.opts)
 
     import jax
 
