@@ -22,7 +22,9 @@ import numpy as np
 
 
 def _capture_activation(model, variables, inputs, target_path: str):
-    """Forward pass capturing the target module's output."""
+    """Forward pass capturing the target module's output (traceable: the
+    captured activation is returned THROUGH the function, so the whole
+    thing jits — eager interception would dispatch per-op)."""
     box: dict = {}
 
     def interceptor(next_fn, args, kwargs, context):
@@ -63,25 +65,29 @@ class GradCAM:
     """Grad-CAM heatmaps for a target layer of a video model.
 
     target_layer: slash-joined flax module path, e.g. "s5/pathway0_res2"
-    (reference README documents per-backbone target layers)."""
+    (reference README documents per-backbone target layers).
+
+    Both passes (capture forward, injected-score grad) run jitted —
+    compiled once per input geometry, then cheap to call per clip."""
 
     def __init__(self, model, variables, target_layer: str):
         self.model = model
         self.variables = variables
         self.target = target_layer
+        self._fwd = jax.jit(lambda v, x: _capture_activation(
+            model, v, x, target_layer))
+        self._grad = jax.jit(lambda v, x, a, c: jax.grad(
+            lambda a_: _score_with_injection(
+                model, v, x, target_layer, a_, c))(a))
 
     def __call__(self, inputs, class_idx: Optional[np.ndarray] = None):
-        preds, act = _capture_activation(
-            self.model, self.variables, inputs, self.target
-        )
+        # an unknown target layer raises KeyError at trace time (first
+        # call) — jit preserves the exception class
+        preds, act = self._fwd(self.variables, inputs)
         if class_idx is None:
             class_idx = jnp.argmax(preds, axis=-1)
-        grad_fn = jax.grad(
-            lambda a: _score_with_injection(
-                self.model, self.variables, inputs, self.target, a, class_idx
-            )
-        )
-        grads = grad_fn(act)
+        grads = self._grad(self.variables, inputs, act,
+                           jnp.asarray(class_idx))
 
         def cam_of(a, g):
             # channel weights: global-average gradient (B, 1, 1, 1, C)
