@@ -351,6 +351,13 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
         boxes_by_window = {int(k): np.asarray(v, np.float32)
                            for k, v in json.load(f).items()}
 
+    assert not _is_camera_source(cfg.DEMO.DATA_SOURCE), (
+        "detection demo is file-based: DEMO.BOXES_FILE holds per-window "
+        "boxes of a known video, which a live camera cannot have. Wire an "
+        "online person detector's output into BOXES_FILE windows, or use a "
+        "file source (PARITY.md: the reference bundles a Detectron2 "
+        "predictor; any detector can produce the boxes here)"
+    )
     preprocess = make_detection_preprocess(cfg)
     fwd = make_detection_forward(cfg, model)
 
