@@ -575,36 +575,97 @@ def main():
 
     import jax
 
-    try:  # persistent compile cache makes repeat bench runs near-instant
-        # Key the default dir by the host CPU feature set: XLA:CPU loads
-        # cross-machine AOT cache entries with only a warning, and after a
-        # VM migration the stale blobs can execute garbage (shared scheme:
-        # utils/env.py::machine_cache_dir).
-        from efficient_slowfast_tpu.utils.env import machine_cache_dir
+    def setup_compile_cache():
+        """Persistent compile cache makes repeat bench runs near-instant.
 
-        # key by backend too: a CPU-forced run must not load AOT blobs an
-        # axon/TPU-platform process compiled with different host features
-        # (observed: "machine type doesn't match" SIGILL-risk warnings)
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", machine_cache_dir(
-                f"/tmp/jax_bench_cache-{jax.default_backend()}")),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+        Keyed by the host CPU feature set (XLA:CPU loads cross-machine AOT
+        cache entries with only a warning; after a VM migration the stale
+        blobs can execute garbage — shared scheme: utils/env.py::
+        machine_cache_dir) AND by backend (a CPU-forced run must not load
+        AOT blobs an axon/TPU-platform process compiled with different
+        host features). NOTE: jax.default_backend() INITIALIZES the
+        backend, which can hang outright under co-tenant saturation of the
+        tunneled chip — callers must only invoke this inside a probed
+        quiet window (with_contention_retry does)."""
+        try:
+            from efficient_slowfast_tpu.utils.env import machine_cache_dir
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR", machine_cache_dir(
+                    f"/tmp/jax_bench_cache-{jax.default_backend()}")),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     emit = lambda d: print(json.dumps(d), flush=True)
 
+    def chip_quiet(timeout_s=90.0):
+        """Out-of-process allocation probe. Under co-tenant saturation the
+        tunneled chip doesn't just fail fast with RESOURCE_EXHAUSTED — the
+        backend can HANG on init/alloc, so the probe must be killable: a
+        subprocess with a hard timeout. A passing probe is a reliable
+        quiet-window signal and costs seconds where a failed/hung full
+        bench attempt costs minutes of compiles (or the whole run).
+        CPU-platform runs skip probing entirely."""
+        if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+            return True
+        import subprocess
+
+        code = (
+            "from efficient_slowfast_tpu.utils.env import "
+            "honor_jax_platforms; honor_jax_platforms();"
+            "import jax.numpy as jnp;"
+            "print(float((jnp.zeros((8,), jnp.float32) + 1).sum()))"
+        )
+        env = dict(os.environ)
+        # append (never replace) so the site's TPU plugin stays importable
+        env["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
+                             + os.pathsep + env.get("PYTHONPATH", ""))
+        try:
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            return False  # hung init/alloc — the saturation signature
+        if r.returncode == 0:
+            return True
+        if "RESOURCE_EXHAUSTED" in (r.stdout + r.stderr):
+            return False
+        # not a contention signature: let the real attempt surface it
+        return True
+
     def with_contention_retry(fn):
         """The shared dev chip sees multi-hour co-tenant saturation
-        (RESOURCE_EXHAUSTED on any allocation). For single-mode runs —
-        including the driver's headline invocation — retry with backoff
-        inside a wall-clock budget instead of failing on the first hit.
-        Output stays one JSON line: nothing is emitted until success."""
+        (RESOURCE_EXHAUSTED or outright hangs on any allocation). For
+        single-mode runs — including the driver's headline invocation —
+        probe for a quiet window before each expensive attempt and retry
+        with backoff inside a wall-clock budget instead of failing (or
+        hanging) on the first hit. Output stays one JSON line: nothing is
+        emitted until success."""
         budget = float(os.environ.get("BENCH_RETRY_SECS", "900"))
         deadline = time.monotonic() + budget
         while True:
+            # Wait for a quiet window first (CPU runs skip the probe
+            # entirely). If the budget runs out while the chip still
+            # refuses a tiny allocation, a "final attempt" would hang the
+            # process in the saturation regime — raise a clear error
+            # instead so the caller sees the cause, not a timeout.
+            quiet = chip_quiet()
+            while not quiet and time.monotonic() < deadline:
+                print("bench: chip busy/hung (probe), waiting for a quiet "
+                      "window", file=sys.stderr, flush=True)
+                time.sleep(45)
+                quiet = chip_quiet()
+            if not quiet:
+                raise RuntimeError(
+                    "chip saturated for the whole retry budget "
+                    f"({budget:.0f}s): allocation probes hung or failed "
+                    "with RESOURCE_EXHAUSTED (co-tenant load); skipping "
+                    "the bench attempt because the backend would hang")
+            setup_compile_cache()  # first backend init — quiet window only
             try:
                 return fn()
             except Exception as e:
