@@ -24,14 +24,26 @@ DATA_AXIS = "data"
 
 
 def init_distributed(cfg) -> None:
-    """Multi-host init (reference NUM_SHARDS/SHARD_ID/init_method contract)."""
-    if cfg.NUM_SHARDS > 1 and jax.process_count() == 1:
-        coordinator = cfg_init_addr(cfg)
+    """Multi-host init (reference NUM_SHARDS/SHARD_ID/init_method contract).
+
+    Must not touch the backend before initialize: jax.process_count()
+    (the old idempotence guard) itself initializes XLA, after which
+    jax.distributed.initialize refuses to run — so idempotence is handled
+    by catching the double-init error instead (found by the real
+    2-process test, tests/test_multihost.py).
+    """
+    if cfg.NUM_SHARDS <= 1:
+        return
+    try:
         jax.distributed.initialize(
-            coordinator_address=coordinator,
+            coordinator_address=cfg_init_addr(cfg),
             num_processes=cfg.NUM_SHARDS,
             process_id=cfg.SHARD_ID,
         )
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
+            raise
 
 
 def cfg_init_addr(cfg) -> str:
@@ -79,6 +91,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree onto the mesh with the batch axis sharded."""
+    """Place a host pytree onto the mesh with the batch axis sharded.
+
+    Single-process: a plain ``device_put`` — the host array IS the global
+    batch. Multi-process: every host holds only its local rows of the
+    global batch (the loader shards indices per host, ``shard_indices``),
+    so the global array must be assembled from the process-local data;
+    ``device_put`` would misread the local batch as the global one and
+    fail the mesh-divisibility check (found by the real 2-process CPU
+    test, tests/test_multihost.py).
+    """
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

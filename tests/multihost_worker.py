@@ -1,0 +1,147 @@
+"""Worker + shared harness for the REAL 2-process data-parallel test.
+
+tests/test_multihost.py runs this file as a script — one subprocess per
+simulated host, each with 4 virtual CPU devices, joined into one 8-device
+jax.distributed job over gloo collectives — and imports it for the
+single-process ground truth. The reference cannot exercise its distributed
+stack without real GPUs (SURVEY §4, slowfast/utils/distributed.py); this
+drives ours end-to-end on CPU: jax.distributed init via the NUM_SHARDS/
+SHARD_ID/INIT_METHOD contract, host-local batch assembly (shard_batch),
+the full jitted train+eval steps, and the unaligned cross-host eval gather
+(engine/test.py::gather_across_hosts, the reference's all_gather_unaligned).
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GLOBAL_BATCH = 8
+
+
+def tiny_cfg():
+    from efficient_slowfast_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFastShuffleNetV2"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 10
+    # dropout off: results must be bit-comparable across process layouts
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.WIDTH_MULTI = 0.25
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def global_batch(cfg):
+    """Deterministic global batch; every host derives the same arrays."""
+    rng = np.random.default_rng(0)
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    a = cfg.SLOWFAST.ALPHA
+    slow = rng.normal(size=(GLOBAL_BATCH, t // a, s, s, 3)).astype(np.float32)
+    fast = rng.normal(size=(GLOBAL_BATCH, t, s, s, 3)).astype(np.float32)
+    labels = (np.arange(GLOBAL_BATCH) % cfg.MODEL.NUM_CLASSES).astype(np.int32)
+    # two padded eval rows, both on the second host's shard
+    valid = (np.arange(GLOBAL_BATCH) < GLOBAL_BATCH - 2).astype(np.float32)
+    return [slow, fast], labels, valid
+
+
+def run_steps(cfg, local_rows=None):
+    """Two jitted train steps + one masked eval step over all devices.
+
+    ``local_rows``: the slice of the global batch this host feeds
+    shard_batch (None = single process, feed the whole batch). Matches the
+    loader's per-host index sharding (data/loader.py::shard_indices).
+    """
+    import jax
+
+    from efficient_slowfast_tpu.engine.state import (
+        create_train_state, make_eval_step, make_train_step, shard_state,
+    )
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.parallel.mesh import build_mesh, shard_batch
+
+    mesh = build_mesh()
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state = shard_state(state, mesh)
+    step = make_train_step(cfg, model, tx)
+    eval_step = make_eval_step(cfg, model)
+
+    inputs, labels, valid = global_batch(cfg)
+    sl = slice(None) if local_rows is None else local_rows
+    dev_inputs = shard_batch(mesh, [p[sl] for p in inputs])
+    dev_labels = shard_batch(mesh, labels[sl])
+    dev_valid = shard_batch(mesh, valid[sl])
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(2):
+        state, mets = step(state, dev_inputs, dev_labels, 0.01, rng)
+        losses.append(float(mets["loss"]))
+    emets = eval_step(state, dev_inputs, dev_labels, dev_valid)
+    return {"losses": losses, "eval_top1_err": float(emets["top1_err"])}
+
+
+def _gather_fixture(pid):
+    """Per-host rows of UNEQUAL count (3 on host 0, 5 on host 1, ...)."""
+    rows = 3 + 2 * pid
+    return (np.arange(rows * 2, dtype=np.float32).reshape(rows, 2)
+            + 1000.0 * pid)
+
+
+def main():
+    pid, nprocs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                   int(sys.argv[3]), sys.argv[4])
+    # platform + device count must be pinned before the first backend init
+    # (a sitecustomize pre-imports jax pinned to the tunneled TPU platform)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    from efficient_slowfast_tpu.utils.env import (
+        honor_jax_platforms, machine_cache_dir,
+    )
+
+    honor_jax_platforms()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      machine_cache_dir("/tmp/jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # the reference CLI contract: NUM_SHARDS / SHARD_ID / --init_method
+    from efficient_slowfast_tpu.parallel.mesh import init_distributed
+
+    init_distributed(types.SimpleNamespace(
+        NUM_SHARDS=nprocs, SHARD_ID=pid,
+        INIT_METHOD=f"tcp://localhost:{port}"))
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.device_count() == 4 * nprocs, jax.device_count()
+
+    cfg = tiny_cfg()
+    per = GLOBAL_BATCH // nprocs
+    res = run_steps(cfg, local_rows=slice(pid * per, (pid + 1) * per))
+
+    from efficient_slowfast_tpu.engine.test import gather_across_hosts
+
+    (got,) = gather_across_hosts(_gather_fixture(pid))
+    expected = np.concatenate([_gather_fixture(i) for i in range(nprocs)])
+    res["gather_ok"] = bool(np.array_equal(np.asarray(got), expected))
+
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+if __name__ == "__main__":
+    main()
