@@ -21,6 +21,9 @@ Extra modes (each prints its own JSON line; `--mode all` prints all):
                        pointwise convs) + accuracy proxy vs the fp forward
   --mode int8_spatial  TPU.INT8_SPATIAL on top: the k>1 convs quantized
                        too (the whole conv stack int8)
+  --mode detection     AVA detection path: SlowFast-R50 32x2 + RoIAlign
+                       head (configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml),
+                       MAX_BOXES-padded boxes per clip
   --mode export        AOT serving artifact (engine/export.py): exported
                        StableHLO forward timed at the bench_eval operating
                        point — must match the live jit
@@ -240,6 +243,80 @@ def bench_shufflenetv2(emit):
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": None,
+    })
+    return value
+
+
+def bench_detection(emit):
+    """AVA detection eval forward: SlowFast-R50 32x2 + RoIAlign head at the
+    configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml operating point (res5 stride 1
+    dilation 2, ROI resolution 7, scale factor 16, 80 classes).
+
+    Measures the jitted (variables, inputs, boxes) → per-box sigmoid scores
+    program on the shapes the AVA test loader emits: a (S, 2S) short-side-S
+    canvas with MAX_BOXES statically padded boxes per clip
+    (data/ava_dataset.py). Reference anchor: tools/test_net.py detection
+    branch + slowfast/models/head_helper.py::ResNetRoIHead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_slowfast_tpu.data.ava_dataset import MAX_BOXES
+    from efficient_slowfast_tpu.engine.state import (
+        create_train_state, make_detection_forward)
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = _flagship_cfg()
+    cfg.DETECTION.ENABLE = True
+    cfg.DETECTION.ALIGNED = True
+    cfg.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    cfg.DETECTION.ROI_XFORM_RESOLUTION = 7
+    cfg.MODEL.NUM_CLASSES = 80
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.MODEL.LOSS_FUNC = "bce"
+    # AVA backbone trunk: res5 keeps spatial stride 1 with dilation 2
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [1, 1]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [2, 2]]
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = make_detection_forward(cfg, model)
+
+    batch = 2 if on_cpu else 32
+    s = cfg.DATA.TEST_CROP_SIZE  # AVA eval canvas: short side S, width 2S
+    t = cfg.DATA.NUM_FRAMES
+    key = jax.random.PRNGKey(1)
+    inputs = [
+        jax.random.normal(key, (batch, t // cfg.SLOWFAST.ALPHA, s, 2 * s, 3),
+                          jnp.bfloat16),
+        jax.random.normal(key, (batch, t, s, 2 * s, 3), jnp.bfloat16),
+    ]
+    # canvas-pixel boxes, MAX_BOXES per clip (the loader's static padding —
+    # padded rows run through RoIAlign too, exactly as in perform_test)
+    k1, k2 = jax.random.split(key)
+    x1 = jax.random.uniform(k1, (batch, MAX_BOXES, 1), maxval=s * 1.2)
+    y1 = jax.random.uniform(k2, (batch, MAX_BOXES, 1), maxval=s * 0.6)
+    boxes = jnp.concatenate(
+        [x1, y1, x1 + s * 0.5, y1 + s * 0.4], axis=-1).astype(jnp.float32)
+
+    _sync(fwd(variables, inputs, boxes))  # compile + warmup
+    _sync(fwd(variables, inputs, boxes))
+    iters = 2 if on_cpu else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, inputs, boxes)
+    _sync(out)
+    dt = time.perf_counter() - t0
+
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "SlowFast-R50 32x2 AVA detection eval fwd throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": None,
+        "boxes_per_clip": MAX_BOXES,
     })
     return value
 
@@ -564,9 +641,9 @@ def bench_mfu(cfg, emit, eval_clips_per_sec=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
-                    choices=["eval", "train", "shufflenetv2", "int8",
-                             "int8_spatial", "export", "pipeline", "mfu",
-                             "all"])
+                    choices=["eval", "train", "shufflenetv2", "detection",
+                             "int8", "int8_spatial", "export", "pipeline",
+                             "mfu", "all"])
     args = ap.parse_args()
 
     from efficient_slowfast_tpu.utils.env import honor_jax_platforms
@@ -684,6 +761,8 @@ def main():
         with_contention_retry(lambda: bench_train(_flagship_cfg(), emit))
     elif args.mode == "shufflenetv2":
         with_contention_retry(lambda: bench_shufflenetv2(emit))
+    elif args.mode == "detection":
+        with_contention_retry(lambda: bench_detection(emit))
     elif args.mode == "int8":
         with_contention_retry(lambda: bench_int8(emit))
     elif args.mode == "int8_spatial":
@@ -711,6 +790,7 @@ def main():
         clips = guarded("eval", lambda: bench_eval(_flagship_cfg(), emit))
         tclips = guarded("train", lambda: bench_train(_flagship_cfg(), emit))
         guarded("shufflenetv2", lambda: bench_shufflenetv2(emit))
+        guarded("detection", lambda: bench_detection(emit))
         guarded("int8", lambda: bench_int8(emit))
         guarded("int8_spatial", lambda: bench_int8(emit, spatial=True))
         guarded("export", lambda: bench_export(emit))

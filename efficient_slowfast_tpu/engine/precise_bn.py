@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import compile_fence, shard_batch
 
 
 def calculate_and_update_precise_bn(cfg, state, model, loader, preprocess,
@@ -33,6 +33,10 @@ def calculate_and_update_precise_bn(cfg, state, model, loader, preprocess,
         return jax.tree_util.tree_map(
             lambda s_new, s_old: (s_new - (1.0 - m) * s_old) / m, new, stats
         )
+
+    # train-mode apply reduces batch stats over the global batch — a
+    # collective under pjit; fence compile from dispatch for multi-host
+    batch_stats_of = compile_fence(batch_stats_of, "precise_bn")
 
     total = None
     seen = 0

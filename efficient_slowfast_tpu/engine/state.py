@@ -145,13 +145,17 @@ def make_eval_step(cfg, model) -> Callable:
             )
             if valid is None:
                 k1, kk = c1.sum(), ck.sum()
-                n = jnp.asarray(preds.shape[0], jnp.float32)
+                num_valid = jnp.asarray(preds.shape[0], jnp.float32)
             else:
                 v = valid.astype(jnp.float32)
                 k1, kk = (c1 * v).sum(), (ck * v).sum()
-                n = jnp.maximum(v.sum(), 1.0)
+                num_valid = v.sum()
+            n = jnp.maximum(num_valid, 1.0)
             out["top1_err"] = (1.0 - k1 / n) * 100.0
             out[f"top{topk}_err"] = (1.0 - kk / n) * 100.0
+            # GLOBAL sample count (jit sees global shapes): the meter
+            # weight — hosts must not re-scale it by shard count
+            out["num_valid"] = num_valid
         return out
 
     return jax.jit(step)
@@ -184,8 +188,27 @@ def make_forward(cfg, model) -> Callable:
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
-    """Replicate train state over the mesh (params/opt state replicated)."""
+    """Replicate train state over the mesh (params/opt state replicated).
+
+    Multi-process: device_put of a host value onto a replicated global
+    sharding makes jax verify equality across hosts with a gloo
+    allgather PER LEAF — for a full train state that is hundreds of
+    cross-host collectives before the first step (slow, and any >30s
+    host skew fails gloo context init outright; observed in
+    tests/test_multihost.py). The state is deterministic per host
+    (seeded init / checkpoint restore), so build the replicated global
+    arrays directly from each host's local copy instead.
+    """
     rep = replicated(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, rep, lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(put, state)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 

@@ -15,7 +15,8 @@ import jax
 from ..data.loader import construct_loader
 from ..data.preprocess import make_test_preprocess
 from ..models import build_model
-from ..parallel.mesh import build_mesh, shard_batch
+from ..parallel.mesh import (build_mesh, compile_fence, fetch_local_rows,
+                             shard_batch)
 from ..utils import checkpoint as cu
 from ..utils.logging import get_logger, setup_logging
 from ..utils.meters import TestMeter
@@ -60,7 +61,8 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
     # one jitted program: XLA folds the conv-layout change of the packed
     # pathways into the preprocess epilogue instead of a separate 1.6 GB
     # copy between the two dispatches
-    run = jax.jit(lambda v, f, w, s: fwd(v, preprocess(f, w, s)))
+    run = compile_fence(  # multi-host: compile + barrier before dispatch
+        jax.jit(lambda v, f, w, s: fwd(v, preprocess(f, w, s))), "test_run")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if quant is not None:
         variables["quant"] = quant
@@ -73,12 +75,17 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
     )):
         frames, widths, sidx = (batch["frames"], batch["width"],
                                 batch["spatial_idx"])
-        preds = np.asarray(jax.device_get(run(variables, frames, widths, sidx)))
+        # this host's rows only: labels/clip ids/_valid below are the
+        # host-local batch metadata (multi-host: remote shards are neither
+        # addressable nor ours to ensemble — gather_across_hosts merges)
+        preds = fetch_local_rows(run(variables, frames, widths, sidx))
         labels = np.asarray(batch["label"])
         clip_ids = (
             np.asarray(batch["index"]) * meter.num_clips
             + np.asarray(batch["temporal_idx"]) * cfg.TEST.NUM_SPATIAL_CROPS
-            + np.asarray(batch["spatial_idx"])
+            # spatial_idx was device-placed (global) for the preprocess;
+            # recover this host's rows to pair with the host-local metadata
+            + fetch_local_rows(sidx)
         )
         if "_valid" in batch:
             # drop loader padding (pad_to_full mask) before ensembling
@@ -162,7 +169,7 @@ def _test_detection(cfg, state, model, loader, mesh, quant=None):
     for cur_iter, batch in enumerate(loader):
         inputs = preprocess(shard_batch(mesh, batch["frames"]))
         boxes = shard_batch(mesh, batch["boxes"])
-        preds = np.asarray(jax.device_get(fwd(variables, inputs, boxes)))
+        preds = fetch_local_rows(fwd(variables, inputs, boxes))
         m = np.asarray(batch["box_mask"]).reshape(-1) > 0
         ori = np.asarray(batch["ori_boxes"]).reshape(-1, 4)[m]
         meta = np.repeat(np.asarray(batch["metadata"]),

@@ -21,7 +21,8 @@ from ..data.preprocess import make_train_preprocess
 from ..models import build_model
 from ..ops.norm import (aggregate_sub_bn_stats, convert_bn_stats,
                         effective_num_splits)
-from ..parallel.mesh import build_mesh, shard_batch
+from ..parallel.mesh import (build_mesh, compile_fence, fetch_local_rows,
+                             host_barrier, shard_batch)
 from ..utils import checkpoint as cu
 from ..utils import lr_policy
 from ..utils.logging import get_logger, setup_logging
@@ -85,7 +86,9 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
                 meter.update_stats(
                     float(m.get("top1_err", 0.0)),
                     float(m.get(f"top{cfg.TRAIN.TOPK}_err", 0.0)),
-                    loss, float(m["lr"]), bs * max(cfg.NUM_SHARDS, 1),
+                    # bs is already the GLOBAL batch: the loader's device
+                    # placement assembles every host's rows (shard_batch)
+                    loss, float(m["lr"]), bs,
                 )
                 meter.log_iter_stats(cur_epoch, it)
                 if writer is not None:
@@ -119,18 +122,26 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
         prefetch_to_device(loader, mesh, depth=cfg.DATA_LOADER.PREFETCH_DEPTH)
     ):
         frames, widths, labels = batch["frames"], batch["width"], batch["label"]
-        valid = batch.get("_valid")
+        valid = batch.get("_valid")  # host-local mask (loader pad_to_full)
         key = jax.random.fold_in(rng, cur_iter)
         inputs = preprocess(key, frames, widths)
-        out = jax.device_get(eval_step(state, inputs, labels, valid))
-        n_valid = labels.shape[0] if valid is None else int(valid.sum())
+        out = eval_step(state, inputs, labels,
+                        None if valid is None else shard_batch(mesh, valid))
+        # preds are batch-sharded over all hosts — fetch scalars only;
+        # the per-clip rows (plot) come back through fetch_local_rows
+        scalars = jax.device_get({k: v for k, v in out.items()
+                                  if k != "preds"})
         if plot:
-            keep = slice(None) if valid is None else valid > 0
-            all_preds.append(np.asarray(out["preds"])[keep])
-            all_labels.append(np.asarray(labels)[keep])
+            keep = slice(None) if valid is None else np.asarray(valid) > 0
+            local_preds = fetch_local_rows(out["preds"])
+            local_labels = fetch_local_rows(labels)
+            all_preds.append(local_preds[keep])
+            all_labels.append(local_labels[keep])
         meter.update_stats(
-            float(out["top1_err"]), float(out[f"top{cfg.TRAIN.TOPK}_err"]),
-            n_valid * max(cfg.NUM_SHARDS, 1),
+            float(scalars["top1_err"]),
+            float(scalars[f"top{cfg.TRAIN.TOPK}_err"]),
+            # num_valid is the GLOBAL count (jit sees global shapes)
+            float(scalars["num_valid"]),
         )
         meter.log_iter_stats(cur_epoch, cur_iter)
     meter.iter_toc()
@@ -183,8 +194,10 @@ def train(cfg: CfgNode):
         return _train_detection(cfg, model, state, tx, train_loader, val_loader,
                                 mesh, rng, start_epoch)
 
-    train_step = make_train_step(cfg, model, tx)
-    eval_step = make_eval_step(cfg, model)
+    # compile_fence: multi-host, AOT-compile + barrier before the first
+    # dispatch of any new input signature (see parallel/mesh.py)
+    train_step = compile_fence(make_train_step(cfg, model, tx), "train_step")
+    eval_step = compile_fence(make_eval_step(cfg, model), "eval_step")
     preprocess = make_train_preprocess(cfg)
     cur_bn = _bn_signature(cfg)
 
@@ -220,13 +233,15 @@ def train(cfg: CfgNode):
                             effective_num_splits(cfg))),
                         mesh,
                     )
-                    eval_step = make_eval_step(cfg, model)
+                    eval_step = compile_fence(make_eval_step(cfg, model),
+                                              "eval_step")
                     cur_bn = new_bn
                 train_loader = construct_loader(cfg, "train")
                 val_loader = construct_loader(cfg, "val")
                 if cfg.BN.USE_PRECISE_STATS:
                     precise_bn_loader = construct_loader(cfg, "train")
-                train_step = make_train_step(cfg, model, tx)
+                train_step = compile_fence(make_train_step(cfg, model, tx),
+                                           "train_step")
                 preprocess = make_train_preprocess(cfg)
                 train_meter = TrainMeter(len(train_loader), cfg)
                 val_meter = ValMeter(len(val_loader), cfg)
@@ -260,6 +275,10 @@ def train(cfg: CfgNode):
     if writer is not None:
         writer.close()
     cu.wait_for_saves()  # drain any in-flight async (orbax) checkpoint
+    # multi-host: non-master processes must not race ahead (e.g. run_net's
+    # train -> test reads the master-written checkpoint); coordination-
+    # service barrier, since hosts can be minutes apart here
+    host_barrier("train_complete")
     return state
 
 
@@ -272,7 +291,8 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
     from ..utils.meters import AVAMeter
     from .state import make_detection_forward, make_detection_train_step
 
-    step = make_detection_train_step(cfg, model, tx)
+    step = compile_fence(make_detection_train_step(cfg, model, tx),
+                         "det_train_step")
     fwd = make_detection_forward(cfg, model)
     train_pre = make_detection_train_preprocess(cfg)
     preprocess = make_detection_preprocess(cfg)
@@ -328,6 +348,7 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
             val_meter.log_epoch_stats(cur_epoch)
             val_meter.reset()
     cu.wait_for_saves()  # drain any in-flight async (orbax) checkpoint
+    host_barrier("train_complete")  # see the classification trainer's note
     return state
 
 

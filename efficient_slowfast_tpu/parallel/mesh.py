@@ -44,6 +44,124 @@ def init_distributed(cfg) -> None:
         msg = str(e).lower()
         if "already" not in msg and "once" not in msg:
             raise
+    _warm_collective_context()
+
+
+def _warm_collective_context() -> None:
+    """Form the all-devices communicator clique while hosts are aligned.
+
+    Collective-context setup bounds cross-host arrival skew — XLA:CPU's
+    gloo rendezvous hard-caps it at ~30 s — but the job's first collective
+    otherwise fires minutes into a train/eval step, where hosts drift
+    freely (compile-cache asymmetry, OS scheduling). One sub-second
+    all-device reduction right after the coordination-service rendezvous
+    creates the clique when skew is at its minimum; the backend caches
+    communicators per clique, so the real steps reuse it. (Observed
+    without this: tests/test_multihost.py workers died in gloo context
+    init, DEADLINE_EXCEEDED at 30 s.)
+    """
+    if jax.process_count() <= 1:
+        return
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs), (DATA_AXIS,))
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    ones = jax.make_array_from_callback(
+        (len(devs),), sharding, lambda idx: np.ones((1,), np.float32))
+    host_barrier("collective_warmup", timeout_ms=300_000)
+    import jax.numpy as jnp
+
+    total = jax.jit(jnp.sum)(ones)  # sharded → replicated: an all-reduce
+    got = float(np.asarray(total.addressable_data(0)))
+    if got != float(len(devs)):
+        raise RuntimeError(
+            f"collective warmup all-reduce returned {got}, expected "
+            f"{len(devs)} — cross-host collectives are broken")
+
+
+_barrier_counts: dict = {}
+
+
+def host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Cross-host rendezvous via the coordination service.
+
+    NOT a device collective: gloo context init tolerates only ~30 s of
+    host skew, so device-collective barriers (multihost_utils.
+    sync_global_devices) cannot fence phases whose durations differ per
+    host — e.g. the master writing a checkpoint while other hosts wait.
+    The coordination-service barrier takes an explicit timeout. Barrier
+    names are one-shot per job; a per-name sequence number keeps repeat
+    calls unique (all hosts call barriers in the same SPMD order).
+    No-op single-process.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    seq = _barrier_counts.get(name, 0)
+    _barrier_counts[name] = seq + 1
+    client.wait_at_barrier(f"esf_{name}_{seq}", timeout_in_ms=timeout_ms)
+
+
+def compile_fence(jitfn, name: str = "compile_fence"):
+    """Wrap a jitted callable for multi-host use: AOT-compile per input
+    signature and host-barrier between compile and first dispatch.
+
+    Collective-context setup at first execution tolerates only a bounded
+    cross-host skew (XLA:CPU gloo context init hard-caps it at ~30 s),
+    while first-call compiles can diverge by MINUTES across hosts — e.g.
+    one host hits the persistent compile cache and another recompiles.
+    A plain jit call therefore deadlocks the whole job at its first
+    collective (observed in tests/test_multihost.py). Compiling ahead of
+    time and fencing on the coordination service absorbs any compile
+    skew. Identity when single-process.
+    """
+    if jax.process_count() <= 1:
+        return jitfn
+    cache: dict = {}
+
+    def call(*args):
+        key = tuple(
+            (tuple(np.shape(leaf)),
+             str(getattr(leaf, "dtype", type(leaf).__name__)))
+            for leaf in jax.tree_util.tree_leaves(args)
+        )
+        exe = cache.get(key)
+        if exe is None:
+            exe = jitfn.lower(*args).compile()
+            host_barrier(f"compiled_{name}")
+            cache[key] = exe
+        return exe(*args)
+
+    return call
+
+
+def fetch_local_rows(arr) -> np.ndarray:
+    """This host's contiguous rows of a batch-sharded global array.
+
+    Multi-host eval fetches per-clip outputs to pair them with the
+    host-local batch metadata (labels, clip ids, padding mask);
+    device_get of the GLOBAL array is not possible (non-addressable
+    shards live on other hosts) and would be the wrong rows anyway.
+    Identity (full fetch) on a single process.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(arr))
+    if arr.is_fully_replicated:
+        # XLA chose to replicate the output: every host holds all rows,
+        # but this host's loader only produced its contiguous slice
+        # (make_array_from_process_local_data ordering in shard_batch)
+        per = arr.shape[0] // jax.process_count()
+        start = jax.process_index() * per
+        return np.asarray(arr.addressable_data(0))[start:start + per]
+    seen = {}
+    for s in arr.addressable_shards:  # dedupe partial replication
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])
 
 
 def cfg_init_addr(cfg) -> str:

@@ -92,6 +92,47 @@ def run_steps(cfg, local_rows=None):
     return {"losses": losses, "eval_top1_err": float(emets["top1_err"])}
 
 
+def engine_cfg(output_dir, num_shards):
+    """Tiny synthetic end-to-end config (mirrors tests/test_engine.py)."""
+    cfg = tiny_cfg()
+    cfg.NUM_SHARDS = num_shards
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TEST.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 8          # global; 4 per host, divisor 4
+    cfg.TEST.BATCH_SIZE = 30          # 15 per host -> padded to 16 + mask
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 45]
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    cfg.LOG_PERIOD = 2
+    # fewer concurrent first-run compiles: gloo context init tolerates only
+    # ~30 s of cross-host skew, and this 1-core host compiles both workers'
+    # programs concurrently
+    cfg.LOG_MODEL_INFO = False
+    cfg.OUTPUT_DIR = output_dir
+    return cfg
+
+
+def run_full_train_and_test(output_dir, num_shards):
+    """The whole engine: train an epoch, then the 30-view test ensemble.
+
+    Exercises per-host loader index sharding, the jitted train epoch,
+    masked eval, master-only checkpointing, checkpoint reload in test(),
+    and the cross-host unaligned eval gather — the complete multi-host
+    story of SURVEY §2.7 in one run.
+    """
+    from efficient_slowfast_tpu.engine.test import test as run_test
+    from efficient_slowfast_tpu.engine.train import train
+
+    cfg = engine_cfg(output_dir, num_shards)
+    state = train(cfg)
+    stats = run_test(cfg)
+    return {"step": int(state.step), "top1_acc": float(stats["top1_acc"])}
+
+
 def _gather_fixture(pid):
     """Per-host rows of UNEQUAL count (3 on host 0, 5 on host 1, ...)."""
     rows = 3 + 2 * pid
@@ -129,15 +170,21 @@ def main():
     assert jax.process_count() == nprocs, jax.process_count()
     assert jax.device_count() == 4 * nprocs, jax.device_count()
 
-    cfg = tiny_cfg()
-    per = GLOBAL_BATCH // nprocs
-    res = run_steps(cfg, local_rows=slice(pid * per, (pid + 1) * per))
+    mode = sys.argv[5] if len(sys.argv) > 5 else "steps"
+    if mode == "train":
+        res = run_full_train_and_test(
+            os.path.dirname(os.path.abspath(out_path)), nprocs)
+    else:
+        cfg = tiny_cfg()
+        per = GLOBAL_BATCH // nprocs
+        res = run_steps(cfg, local_rows=slice(pid * per, (pid + 1) * per))
 
-    from efficient_slowfast_tpu.engine.test import gather_across_hosts
+        from efficient_slowfast_tpu.engine.test import gather_across_hosts
 
-    (got,) = gather_across_hosts(_gather_fixture(pid))
-    expected = np.concatenate([_gather_fixture(i) for i in range(nprocs)])
-    res["gather_ok"] = bool(np.array_equal(np.asarray(got), expected))
+        (got,) = gather_across_hosts(_gather_fixture(pid))
+        expected = np.concatenate([_gather_fixture(i)
+                                   for i in range(nprocs)])
+        res["gather_ok"] = bool(np.array_equal(np.asarray(got), expected))
 
     with open(out_path, "w") as f:
         json.dump(res, f)

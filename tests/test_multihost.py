@@ -33,38 +33,61 @@ def _free_port():
     return port
 
 
-def test_real_two_process_dp_matches_single_process(tmp_path):
+def _run_workers_once(tmp_path, mode, nprocs, attempt):
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         env = os.environ.copy()
         # the worker pins its own platform/device count before backend init
         env.pop("XLA_FLAGS", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         out = tmp_path / f"result{pid}.json"
-        log = open(tmp_path / f"worker{pid}.log", "w")
+        out.unlink(missing_ok=True)
+        log = open(tmp_path / f"worker{pid}.a{attempt}.log", "w")
         p = subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), str(out)],
+            [sys.executable, WORKER, str(pid), str(nprocs), str(port),
+             str(out), mode],
             env=env, stdout=log, stderr=log)
         procs.append((pid, p, out, log))
 
+    failures = []
     try:
         for pid, p, out, log in procs:
             rc = p.wait(timeout=900)
             log.close()
             if rc != 0:
-                tail = (tmp_path / f"worker{pid}.log").read_text()[-3000:]
-                pytest.fail(f"worker {pid} exited rc={rc}:\n{tail}")
+                tail = (tmp_path / f"worker{pid}.a{attempt}.log"
+                        ).read_text()[-3000:]
+                failures.append(f"worker {pid} exited rc={rc}:\n{tail}")
     finally:
         for _, p, _, log in procs:
             if p.poll() is None:
                 p.kill()
             if not log.closed:
                 log.close()
+    if failures:
+        return None, "\n".join(failures)
+    return [json.loads((tmp_path / f"result{i}.json").read_text())
+            for i in range(nprocs)], None
 
-    r0, r1 = (json.loads((tmp_path / f"result{i}.json").read_text())
-              for i in range(2))
+
+def _run_workers(tmp_path, mode="steps", nprocs=2):
+    # One retry: gloo context init hard-caps cross-host skew at ~30 s, and
+    # on this 1-core host an asymmetric compile-cache hit (one worker loads
+    # a cached program, the other recompiles for minutes) can exceed it on
+    # a cold cache. The retry runs with the cache the first attempt wrote,
+    # so a second failure is a real bug, not skew.
+    results, err = _run_workers_once(tmp_path, mode, nprocs, attempt=0)
+    if results is None:
+        results, err = _run_workers_once(tmp_path, mode, nprocs, attempt=1)
+    if results is None:
+        pytest.fail(err)
+    return results
+
+
+def test_real_two_process_dp_matches_single_process(tmp_path):
+    r0, r1 = _run_workers(tmp_path, mode="steps")
 
     # SPMD consistency: both hosts see the identical globally-reduced values
     assert r0["losses"] == pytest.approx(r1["losses"], rel=1e-6)
@@ -82,3 +105,26 @@ def test_real_two_process_dp_matches_single_process(tmp_path):
                                                 abs=1e-4)
     # two train steps actually optimized (not a frozen no-op)
     assert ref["losses"][1] != ref["losses"][0]
+
+
+def test_real_two_process_full_train_and_30view_test(tmp_path):
+    """The whole engine across two real processes: per-host loader index
+    sharding, jitted train epoch, masked eval, master-only checkpoint,
+    checkpoint reload in test(), cross-host unaligned eval gather.
+
+    Global-batch composition differs from a single-process epoch (each
+    host draws from its own index shard), so the check is cross-host SPMD
+    consistency + artifact existence, not equality with a 1-process run.
+    """
+    r0, r1 = _run_workers(tmp_path, mode="train")
+
+    # 64 synthetic samples / global batch 8 = 8 optimizer steps, same on
+    # both hosts (one SPMD program)
+    assert r0["step"] == r1["step"] == 8
+    # the 30-view ensemble is assembled from cross-host gathers; both
+    # hosts must finalize the identical metric
+    assert r0["top1_acc"] == pytest.approx(r1["top1_acc"], abs=1e-6)
+    assert 0.0 <= r0["top1_acc"] <= 100.0
+    # master-only checkpoint write (reference: checkpoint master-only save)
+    ckpts = os.listdir(tmp_path / "checkpoints")
+    assert any(c.endswith(".jaxckpt") for c in ckpts)
