@@ -161,7 +161,16 @@ def fetch_local_rows(arr) -> np.ndarray:
         start = s.index[0].start or 0
         if start not in seen:
             seen[start] = np.asarray(s.data)
-    return np.concatenate([seen[k] for k in sorted(seen)])
+    rows = np.concatenate([seen[k] for k in sorted(seen)])
+    per = arr.shape[0] // jax.process_count()
+    if rows.shape[0] != per:
+        # e.g. the compiler sharded a non-batch dim — silently returning
+        # these rows would mispair them with host-local metadata
+        raise RuntimeError(
+            f"fetch_local_rows: reconstructed {rows.shape[0]} rows, "
+            f"expected {per} (global {arr.shape[0]} over "
+            f"{jax.process_count()} hosts); output is not batch-sharded")
+    return rows
 
 
 def cfg_init_addr(cfg) -> str:
