@@ -40,13 +40,20 @@ def check_nan_losses(loss: float):
 
 
 def _bn_signature(cfg):
-    """(norm_type, num_splits) pair deciding whether the module tree must be
-    rebuilt at a multigrid phase boundary. batchnorm vs sync_batchnorm is
-    structurally identical under pjit (ops/norm.py), so both map to the same
-    signature."""
+    """(norm_type, groups) pair deciding whether the module tree must be
+    rebuilt at a multigrid phase boundary. sync_batchnorm whose subgroup
+    spans the mesh degenerates to plain BN (ops/norm.py::get_norm), so it
+    maps to the batchnorm signature; a proper subgroup is a real module
+    change (grouped statistics) and must rebuild."""
     norm = cfg.BN.NORM_TYPE
     if norm == "sub_batchnorm":
         return (norm, cfg.BN.NUM_SPLITS)
+    if norm == "sync_batchnorm":
+        from ..ops.norm import effective_sync_groups
+
+        groups = effective_sync_groups(cfg)
+        if groups > 1:
+            return (norm, groups)
     return ("batchnorm", 0)
 
 

@@ -10,9 +10,14 @@ emulates with NaiveSyncBatchNorm3d's all_gather. Hence:
 - "batchnorm"       → plain BN (global stats under pjit; this is what DDP+syncBN
                       approximates, and is statistically strictly better than
                       the reference's per-GPU default).
-- "sync_batchnorm"  → same module; NUM_SYNC_DEVICES subgroup sync is expressed
-                      via ``axis_name``/``axis_index_groups`` when running under
-                      shard_map (per-device SPMD); a no-op difference under pjit.
+- "sync_batchnorm"  → SyncBatchNorm3d when BN.NUM_SYNC_DEVICES names a proper
+                      device subgroup: batch statistics over contiguous row
+                      groups of (per-device batch × NUM_SYNC_DEVICES) samples —
+                      exactly the reference's GroupGather granularity, since
+                      shard_batch lays the global batch out as contiguous
+                      per-device blocks in mesh order. Plain BN when the
+                      subgroup spans all devices (0 or ≥ mesh size: group ==
+                      global batch).
 - "sub_batchnorm"   → SubBatchNorm3d: batch split into NUM_SPLITS groups with
                       independent running stats, aggregated before eval.
 
@@ -149,6 +154,105 @@ class _SubBN3dInner(nn.Module):
         else:
             inv = jnp.reciprocal(jnp.sqrt(agg_var.value + self.epsilon))
             y = (xf - agg_mean.value) * inv
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class SyncBatchNorm3d(nn.Module):
+    """Group-limited sync-BN (reference: batchnorm_helper.py:174-218).
+
+    The reference's ``NaiveSyncBatchNorm3d`` all-gathers (mean, mean²) over
+    ``NUM_SYNC_DEVICES``-sized device subgroups and normalizes each device's
+    batch with its subgroup's statistics. Under the single-program SPMD step
+    the global batch is laid out as contiguous per-device row blocks
+    (parallel/mesh.py::shard_batch), so a device subgroup's combined batch is
+    a contiguous row group: the same statistics fall out of a reshape to
+    ``(num_groups, B/num_groups, ...)`` with per-group moments — no explicit
+    collective needed; GSPMD inserts the partial reductions.
+
+    Running stats: the reference updates each device's buffers with its own
+    subgroup's stats and checkpoints the master's. A single shared state tree
+    can't hold per-group buffers, so the running stats are updated with the
+    across-group aggregate (mean of group means; law-of-total-variance var) —
+    expectation-equal to the master's buffers and a strictly lower-variance
+    estimator (deliberate deviation, same spirit as sub-BN aggregation).
+
+    Stats live as ``bn/{mean,var}`` and params as ``bn/{scale,bias}`` — the
+    exact pytree layout of :class:`BatchNorm3d` — so a multigrid BN-type
+    auto-switch (batchnorm ↔ sync_batchnorm) rebuilds the module tree and
+    carries the whole train state across unchanged.
+    """
+
+    num_groups: int = 1
+    epsilon: float = 1e-5
+    momentum: float = 0.1
+    zero_init_gamma: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return _SyncBN3dInner(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            momentum=self.momentum,
+            zero_init_gamma=self.zero_init_gamma,
+            name="bn",
+        )(x, train)
+
+
+class _SyncBN3dInner(nn.Module):
+    """Implementation body of SyncBatchNorm3d (scoped under ``bn``)."""
+
+    num_groups: int = 1
+    epsilon: float = 1e-5
+    momentum: float = 0.1
+    zero_init_gamma: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_init_gamma else nn.initializers.ones,
+            (c,), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        if train:
+            b = x.shape[0]
+            assert b % self.num_groups == 0, (
+                f"batch {b} not divisible by sync-BN num_groups="
+                f"{self.num_groups}"
+            )
+            xs = xf.reshape((self.num_groups, b // self.num_groups) + x.shape[1:])
+            # Two-pass variance, not the reference's meansqr−mean² (which
+            # cancels catastrophically in float32 — see _SubBN3dInner).
+            axes = (1, 2, 3, 4)
+            mean = jnp.mean(xs, axis=axes)  # (groups, C)
+            var = jnp.mean(
+                jnp.square(xs - mean[:, None, None, None, None, :]), axis=axes
+            )
+            if not self.is_initializing():
+                m = self.momentum
+                agg_mean = jnp.mean(mean, axis=0)
+                agg_var = jnp.mean(var, axis=0) + jnp.mean(
+                    jnp.square(mean - agg_mean), axis=0
+                )
+                ra_mean.value = (1 - m) * ra_mean.value + m * agg_mean
+                ra_var.value = (1 - m) * ra_var.value + m * agg_var
+            inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+            y = (xs - mean[:, None, None, None, None, :]) * inv[:, None, None, None, None, :]
+            y = y.reshape(x.shape)
+        else:
+            inv = jnp.reciprocal(jnp.sqrt(ra_var.value + self.epsilon))
+            y = (xf - ra_mean.value) * inv
         y = y * scale + bias
         return y.astype(x.dtype)
 
@@ -332,14 +436,45 @@ def effective_num_splits(cfg) -> int:
     return max(1, int(cfg.BN.NUM_SPLITS)) * mesh_device_count(cfg)
 
 
+def effective_sync_groups(cfg) -> int:
+    """Stat-group count for sync-BN under pjit.
+
+    Reference semantics (batchnorm_helper.py:174-192): statistics are
+    synchronized over ``BN.NUM_SYNC_DEVICES``-sized device subgroups;
+    0 (or a subgroup spanning the whole mesh) means one global group.
+    The global batch is contiguous per-device blocks in mesh order, so
+    ``num_groups = mesh_devices / NUM_SYNC_DEVICES`` row groups reproduce
+    the reference's per-subgroup statistics exactly.
+    """
+    from ..parallel.mesh import mesh_device_count
+
+    n = mesh_device_count(cfg)
+    sync = int(cfg.BN.NUM_SYNC_DEVICES)
+    if sync <= 0 or sync >= n:
+        return 1
+    if n % sync != 0:
+        raise ValueError(
+            f"BN.NUM_SYNC_DEVICES={sync} does not divide the data-axis "
+            f"size {n} (reference asserts local_size % num_sync == 0, "
+            f"batchnorm_helper.py:184-188)")
+    return n // sync
+
+
 def get_norm(cfg) -> Callable[..., nn.Module]:
     """Norm-module factory from config (reference: batchnorm_helper.py:15-34)."""
     kwargs = dict(
         epsilon=cfg.BN.EPSILON,
         momentum=cfg.BN.MOMENTUM,
     )
-    if cfg.BN.NORM_TYPE in ("batchnorm", "sync_batchnorm"):
+    if cfg.BN.NORM_TYPE == "batchnorm":
         return functools.partial(BatchNorm3d, **kwargs)
+    if cfg.BN.NORM_TYPE == "sync_batchnorm":
+        groups = effective_sync_groups(cfg)
+        if groups == 1:
+            # subgroup spans the mesh: group batch == global batch, which
+            # plain BN under pjit already computes
+            return functools.partial(BatchNorm3d, **kwargs)
+        return functools.partial(SyncBatchNorm3d, num_groups=groups, **kwargs)
     if cfg.BN.NORM_TYPE == "sub_batchnorm":
         return functools.partial(
             SubBatchNorm3d, num_splits=effective_num_splits(cfg), **kwargs

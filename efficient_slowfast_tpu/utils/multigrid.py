@@ -8,8 +8,9 @@ TPU note (SURVEY §7): each long-cycle phase is a STATIC shape — the engine
 rebuilds loaders and recompiles the step once per phase (a bounded set of
 compiled programs) instead of mutating a live trainer. The BN-type auto-switch
 (reference :83-101) is preserved: small per-device batches switch to
-sync-BN semantics (free under pjit's global-batch stats), large ones to
-sub-BN stat splitting.
+grouped sync-BN (ops/norm.py::SyncBatchNorm3d honoring NUM_SYNC_DEVICES),
+large ones to sub-BN stat splitting; the engine rebuilds the module tree at
+either switch and converts batch_stats (engine/train.py BN rebuild branch).
 """
 
 from __future__ import annotations
@@ -73,14 +74,12 @@ class MultigridSchedule:
         if bs_factor < 1:
             cfg.BN.NORM_TYPE = "sync_batchnorm"
             cfg.BN.NUM_SYNC_DEVICES = int(1.0 / bs_factor)
-            # Parity note (documented deviation): the reference syncs BN
-            # stats over NUM_SYNC_DEVICES-GPU subgroups
-            # (NaiveSyncBatchNorm3d); under pjit this maps to GLOBAL-batch
-            # statistics (ops/norm.py), i.e. the effective BN batch is the
-            # full global batch rather than NUM_SYNC_DEVICES local shards.
+            # Honored exactly when the subgroup is a proper subset of the
+            # mesh: SyncBatchNorm3d computes per-subgroup statistics
+            # (ops/norm.py::effective_sync_groups). A subgroup spanning the
+            # whole mesh degenerates to plain global-batch BN.
             logger.info(
-                "multigrid BN switch: sync_batchnorm(NUM_SYNC_DEVICES=%d) "
-                "-> global-batch stats under pjit (see ops/norm.py)",
+                "multigrid BN switch: sync_batchnorm(NUM_SYNC_DEVICES=%d)",
                 cfg.BN.NUM_SYNC_DEVICES,
             )
         elif bs_factor > 1:

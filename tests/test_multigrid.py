@@ -164,6 +164,10 @@ def test_long_cycle_sub_bn_phase_end_to_end(tmp_path):
 
     train(cfg)
     assert cfg.BN.NORM_TYPE == "sync_batchnorm"  # final small-batch phase
+    # NUM_SYNC_DEVICES=4 on the 8-device mesh → 2 real stat groups: the
+    # final phase trains the grouped SyncBatchNorm3d module, not plain BN
+    from efficient_slowfast_tpu.engine.train import _bn_signature
+    assert _bn_signature(cfg) == ("sync_batchnorm", 2)
 
     def find_subtrees(tree, want_keys):
         found = []
