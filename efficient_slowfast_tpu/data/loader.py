@@ -306,12 +306,16 @@ def shuffle_dataset(loader: ClipLoader, cur_epoch: int):
 
 
 def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
-                       depth: int = 2):
+                       depth: int = 2, host_copy=()):
     """Iterate `loader`, device_put-ing the next batches ahead of consumption.
 
     Overlaps host→device transfer with device compute (the TPU equivalent of
     the reference's pin_memory + cuda(non_blocking=True),
     reference: tools/train_net.py:51-65). Non-tensor keys pass through on host.
+    Keys in ``host_copy`` are placed on device AND retained on host under
+    ``<key>_host`` — for values consumed by the jitted step that the caller
+    also needs host-side (fetching them back off the device would pay a
+    D2H round-trip for data the loader already produced on the host).
     """
     import queue as _queue
     import threading as _threading
@@ -330,6 +334,9 @@ def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
                     mesh, {k: batch[k] for k in keys if k in batch}
                 )
                 host_part = {k: v for k, v in batch.items() if k not in keys}
+                for k in host_copy:
+                    if k in batch:
+                        host_part[f"{k}_host"] = batch[k]
                 q.put(("batch", (device_part, host_part)))
         except BaseException as exc:  # propagate to the consumer thread
             q.put(("error", exc))

@@ -203,6 +203,8 @@ def shard_state(state: TrainState, mesh) -> TrainState:
     if jax.process_count() > 1:
         import numpy as np
 
+        _verify_state_consistency(state)
+
         def put(x):
             x = np.asarray(x)
             return jax.make_array_from_callback(
@@ -210,6 +212,49 @@ def shard_state(state: TrainState, mesh) -> TrainState:
 
         return jax.tree_util.tree_map(put, state)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+_verify_seq = [0]
+
+
+def _verify_state_consistency(state) -> None:
+    """One cross-host checksum in place of device_put's per-leaf allgather.
+
+    Stamping each host's local copy into a "replicated" global array skips
+    the equality verification device_put performs — a host that restored a
+    different checkpoint (e.g. a torn read while the master rewrites it on
+    shared storage) would silently diverge and poison every later metric.
+    A single crc32 over all leaves, compared through the coordination
+    service, fails loudly instead. The comparison deliberately avoids a
+    device collective: shard_state runs right after create_train_state /
+    checkpoint restore, where hosts can be minutes apart (compile-cache
+    asymmetry), and a fresh gloo context tolerates only ~30 s of skew
+    (parallel/mesh.py::host_barrier rationale) — the KV store takes an
+    explicit timeout.
+    """
+    import zlib
+
+    import numpy as np
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    crc = 0
+    for leaf in jax.tree_util.tree_leaves(state):
+        crc = zlib.crc32(np.asarray(leaf).tobytes(), crc)
+    seq = _verify_seq[0]
+    _verify_seq[0] += 1
+    me = jax.process_index()
+    client.key_value_set(f"esf_state_crc_{seq}/{me}", hex(crc))
+    for p in range(jax.process_count()):
+        other = client.blocking_key_value_get(
+            f"esf_state_crc_{seq}/{p}", 600_000)
+        if other != hex(crc):
+            raise RuntimeError(
+                f"shard_state: train-state checksum {hex(crc)} (host {me}) "
+                f"!= {other} (host {p}) — hosts restored/initialized "
+                f"different state; refusing to replicate divergent copies")
 
 
 def _flatten_rois(boxes):

@@ -71,7 +71,7 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
     meter.iter_tic()
     for cur_iter, batch in enumerate(prefetch_to_device(
         loader, mesh, keys=("frames", "width", "spatial_idx"),
-        depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
+        depth=cfg.DATA_LOADER.PREFETCH_DEPTH, host_copy=("spatial_idx",),
     )):
         frames, widths, sidx = (batch["frames"], batch["width"],
                                 batch["spatial_idx"])
@@ -83,9 +83,10 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
         clip_ids = (
             np.asarray(batch["index"]) * meter.num_clips
             + np.asarray(batch["temporal_idx"]) * cfg.TEST.NUM_SPATIAL_CROPS
-            # spatial_idx was device-placed (global) for the preprocess;
-            # recover this host's rows to pair with the host-local metadata
-            + fetch_local_rows(sidx)
+            # spatial_idx rides to device for the preprocess; its host copy
+            # (prefetch host_copy) pairs with the host-local metadata
+            # without a D2H fetch through the tunnel
+            + np.asarray(batch["spatial_idx_host"])
         )
         if "_valid" in batch:
             # drop loader padding (pad_to_full mask) before ensembling
@@ -160,7 +161,9 @@ def _test_detection(cfg, state, model, loader, mesh, quant=None):
     from .state import make_detection_forward
 
     preprocess = make_detection_preprocess(cfg)
-    fwd = make_detection_forward(cfg, model)
+    # multi-host: compile + barrier before first dispatch (compile skew
+    # tolerance is ~30 s; see parallel/mesh.py::compile_fence)
+    fwd = compile_fence(make_detection_forward(cfg, model), "det_test_fwd")
     meter = AVAMeter(len(loader), cfg, mode="test")
     meter.video_idx_to_name = getattr(loader.dataset, "_video_idx_to_name", None)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -170,12 +173,30 @@ def _test_detection(cfg, state, model, loader, mesh, quant=None):
         inputs = preprocess(shard_batch(mesh, batch["frames"]))
         boxes = shard_batch(mesh, batch["boxes"])
         preds = fetch_local_rows(fwd(variables, inputs, boxes))
-        m = np.asarray(batch["box_mask"]).reshape(-1) > 0
+        m = detection_box_mask(batch)
         ori = np.asarray(batch["ori_boxes"]).reshape(-1, 4)[m]
         meta = np.repeat(np.asarray(batch["metadata"]),
                          batch["boxes"].shape[1], axis=0)[m]
         ori5 = np.concatenate([np.zeros((len(ori), 1)), ori], axis=1)
-        meter.update_stats(preds[m], ori5, meta)
+        # every host holds only its loader shard's boxes — merge before the
+        # meter so finalize_metrics sees the full dataset (the reference's
+        # all_gather_unaligned at train_net.py eval_epoch detection branch)
+        p, ori5, meta = gather_across_hosts(preds[m], ori5, meta)
+        meter.update_stats(p, ori5, meta)
         meter.log_iter_stats(None, cur_iter)
     mAP = meter.finalize_metrics()
     return {"map": mAP}
+
+
+def detection_box_mask(batch) -> np.ndarray:
+    """Flat (B*MAX,) bool mask of real boxes in a detection eval batch.
+
+    Combines the per-box ``box_mask`` with the loader's per-clip ``_valid``
+    pad mask: pad_to_full wraps REAL clips to fill the tail batch, so their
+    duplicated boxes carry box_mask=1 and would be double-counted in mAP
+    without the clip-level drop (classification paths drop the same way,
+    perform_test/eval_epoch)."""
+    m = np.asarray(batch["box_mask"]) > 0  # (B, MAX)
+    if "_valid" in batch:
+        m = m & (np.asarray(batch["_valid"]).reshape(-1, 1) > 0)
+    return m.reshape(-1)

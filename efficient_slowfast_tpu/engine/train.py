@@ -120,7 +120,12 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
                mesh, rng, writer=None):
     from ..data.loader import prefetch_to_device
 
-    plot = writer is not None and (
+    # collect per-clip rows on EVERY host when plotting is configured —
+    # the writer exists only on process 0, but the epoch-end merge below is
+    # a collective all hosts must enter; keying on the (uniform) cfg flags
+    # rather than the writer keeps hosts aligned AND makes the confusion
+    # matrix cover the full validation set, not process 0's shard
+    plot = cfg.TENSORBOARD.ENABLE and (
         cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE or cfg.TENSORBOARD.HISTOGRAM.ENABLE
     )
     all_preds, all_labels = [], []
@@ -155,8 +160,12 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
     top1 = meter.log_epoch_stats(cur_epoch)
     meter.reset()
     if plot and all_preds:
-        writer.plot_eval(np.concatenate(all_preds),
-                         np.concatenate(all_labels), global_step=cur_epoch)
+        from .test import gather_across_hosts
+
+        preds, labels = gather_across_hosts(
+            np.concatenate(all_preds), np.concatenate(all_labels))
+        if writer is not None:
+            writer.plot_eval(preds, labels, global_step=cur_epoch)
     return top1
 
 
@@ -300,7 +309,7 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
 
     step = compile_fence(make_detection_train_step(cfg, model, tx),
                          "det_train_step")
-    fwd = make_detection_forward(cfg, model)
+    fwd = compile_fence(make_detection_forward(cfg, model), "det_val_fwd")
     train_pre = make_detection_train_preprocess(cfg)
     preprocess = make_detection_preprocess(cfg)
     train_meter = AVAMeter(len(train_loader), cfg, mode="train")
@@ -338,19 +347,26 @@ def _train_detection(cfg, model, state, tx, train_loader, val_loader, mesh,
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
         if _is_eval_epoch(cfg, cur_epoch):
+            from .test import detection_box_mask, gather_across_hosts
+
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             for cur_iter, batch in enumerate(val_loader):
                 inputs = preprocess(shard_batch(mesh, batch["frames"]))
                 boxes = shard_batch(mesh, batch["boxes"])
-                preds = np.asarray(jax.device_get(fwd(variables, inputs, boxes)))
-                m = np.asarray(batch["box_mask"]).reshape(-1) > 0
+                # this host's rows of the batch-sharded global output —
+                # device_get of the global array spans non-addressable
+                # shards on other hosts and would crash (or mispair with
+                # the host-local box metadata below)
+                preds = fetch_local_rows(fwd(variables, inputs, boxes))
+                m = detection_box_mask(batch)  # box_mask ∧ _valid pad drop
                 ori = np.asarray(batch["ori_boxes"]).reshape(-1, 4)[m]
                 meta = np.repeat(np.asarray(batch["metadata"]),
                                  batch["boxes"].shape[1], axis=0)[m]
                 ori5 = np.concatenate(
                     [np.zeros((len(ori), 1)), ori], axis=1
                 )
-                val_meter.update_stats(preds[m], ori5, meta)
+                p, ori5, meta = gather_across_hosts(preds[m], ori5, meta)
+                val_meter.update_stats(p, ori5, meta)
                 val_meter.log_iter_stats(cur_epoch, cur_iter)
             val_meter.log_epoch_stats(cur_epoch)
             val_meter.reset()
