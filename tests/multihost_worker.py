@@ -133,6 +133,33 @@ def run_full_train_and_test(output_dir, num_shards):
     return {"step": int(state.step), "top1_acc": float(stats["top1_acc"])}
 
 
+def detection_cfg(base, num_shards):
+    """The shared 2-keyframe AVA detection test config over a pre-built
+    on-disk fixture (tests/test_ava.py::make_ava_fixture at <base>/ava_fx;
+    the pytest parent builds it before spawning workers)."""
+    import test_ava as ta
+
+    fx = ta.make_ava_fixture(os.path.join(base, "ava_fx"))
+    cfg = ta.detection_engine_cfg(fx, base)
+    cfg.NUM_SHARDS = num_shards
+    cfg.LOG_MODEL_INFO = False
+    return cfg
+
+
+def run_detection_test(base, num_shards):
+    """30-view-free detection eval across hosts: per-host loader shard
+    (1 real keyframe each + wrap-padding), batch-sharded RoI forward,
+    _valid pad drop, cross-host box gather, full-dataset mAP on every
+    host — the exact multi-host path review round 3 found broken
+    (engine/test.py::_test_detection). Random-init weights: deterministic
+    per RNG_SEED, so every process layout scores the same boxes."""
+    from efficient_slowfast_tpu.engine.test import test as run_test
+
+    cfg = detection_cfg(base, num_shards)
+    stats = run_test(cfg)
+    return {"map": float(stats["map"])}
+
+
 def _gather_fixture(pid):
     """Per-host rows of UNEQUAL count (3 on host 0, 5 on host 1, ...)."""
     rows = 3 + 2 * pid
@@ -173,6 +200,9 @@ def main():
     mode = sys.argv[5] if len(sys.argv) > 5 else "steps"
     if mode == "train":
         res = run_full_train_and_test(
+            os.path.dirname(os.path.abspath(out_path)), nprocs)
+    elif mode == "detection":
+        res = run_detection_test(
             os.path.dirname(os.path.abspath(out_path)), nprocs)
     else:
         cfg = tiny_cfg()

@@ -128,3 +128,25 @@ def test_real_two_process_full_train_and_30view_test(tmp_path):
     # master-only checkpoint write (reference: checkpoint master-only save)
     ckpts = os.listdir(tmp_path / "checkpoints")
     assert any(c.endswith(".jaxckpt") for c in ckpts)
+
+
+def test_real_two_process_detection_map_matches_single_process(tmp_path):
+    """Detection eval across two real processes: per-host loader shard
+    (1 keyframe each + wrap-padding), batch-sharded RoI forward row fetch,
+    _valid pad drop (without it the wrapped duplicates' boxes double-count),
+    cross-host box gather, identical full-dataset mAP on both hosts and vs
+    the single-process ground truth. Round-3 review found all three multi-
+    host steps missing on this path; this drives them for real."""
+    import multihost_worker as mw
+
+    # shared on-disk fixture, built once before the workers spawn
+    mw.detection_cfg(str(tmp_path), num_shards=1)
+
+    r0, r1 = _run_workers(tmp_path, mode="detection")
+    assert r0["map"] == pytest.approx(r1["map"], abs=1e-6)
+
+    # ground truth: same 2 keyframes on this process's 8 devices (identical
+    # global batch shape — 2 real rows + 6 pad vs 2×(1 real + 3 pad))
+    ref = mw.run_detection_test(str(tmp_path), num_shards=1)
+    assert r0["map"] == pytest.approx(ref["map"], abs=1e-4)
+    assert 0.0 <= r0["map"] <= 1.0
