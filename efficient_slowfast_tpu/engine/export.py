@@ -12,8 +12,12 @@ compiles the deserialized module once per batch shape actually used).
 
 Scope: the exported function maps preprocessed pathway inputs
 ``[slow (b,t/alpha,s,s,3), fast (b,t,s,s,3)]`` to class predictions —
-the same contract as ``make_forward``. Host-side decode + crop stays in
-the serving process (it is data-dependent IO, not compute).
+the same contract as ``make_forward``. With ``DETECTION.ENABLE`` the
+artifact additionally takes canvas-pixel boxes ``(b, max_boxes, 4)`` and
+returns per-box action scores ``(b*max_boxes, classes)`` — the
+``make_detection_forward`` contract (padded boxes score garbage rows the
+caller drops, same as the engines' box_mask). Host-side decode + crop
+stays in the serving process (it is data-dependent IO, not compute).
 """
 
 from __future__ import annotations
@@ -32,11 +36,12 @@ _SUFFIX = ".jaxserving"
 
 
 def export_serving(cfg, state, out_path: str, platforms=None,
-                   quant=None) -> str:
+                   quant=None, max_boxes: int = 32) -> str:
     """Export the serving forward for ``state`` to ``out_path``.
 
     Args:
-      cfg: full config; TPU.INT8_EVAL etc. select the serving graph.
+      cfg: full config; TPU.INT8_EVAL etc. select the serving graph;
+        DETECTION.ENABLE exports the RoI forward (inputs + boxes).
       state: TrainState (or any object with .params/.batch_stats) whose
         weights get baked into the artifact.
       out_path: target file; ``.jaxserving`` appended if missing.
@@ -47,6 +52,9 @@ def export_serving(cfg, state, out_path: str, platforms=None,
         When omitted, the calibration persisted by the serving engines
         (engine.quantize.save_calibration) is loaded and fingerprint-
         checked; export refuses if neither source yields a calibration.
+      max_boxes: detection exports only — the static per-clip box-padding
+        width baked into the artifact (the batch dim stays symbolic);
+        callers pad/clip their boxes to it like the AVA loader does.
 
     Returns the written path.
     """
@@ -71,8 +79,6 @@ def export_serving(cfg, state, out_path: str, platforms=None,
             "when its fingerprint does not match this checkpoint/config)")
         variables["quant"] = quant
 
-    fwd = make_forward(cfg, model)
-
     t = cfg.DATA.NUM_FRAMES
     s = cfg.DATA.TEST_CROP_SIZE
     dt = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
@@ -86,10 +92,21 @@ def export_serving(cfg, state, out_path: str, platforms=None,
     else:
         specs = [jax.ShapeDtypeStruct((b, t, s, s, 3), dt)]
 
-    exported = jax.export.export(
-        jax.jit(lambda inputs: fwd(variables, inputs)),
-        platforms=platforms,
-    )(specs)
+    if cfg.DETECTION.ENABLE:
+        from .state import make_detection_forward
+
+        det_fwd = make_detection_forward(cfg, model)
+        box_spec = jax.ShapeDtypeStruct((b, max_boxes, 4), jnp.float32)
+        exported = jax.export.export(
+            jax.jit(lambda inputs, boxes: det_fwd(variables, inputs, boxes)),
+            platforms=platforms,
+        )(specs, box_spec)
+    else:
+        fwd = make_forward(cfg, model)
+        exported = jax.export.export(
+            jax.jit(lambda inputs: fwd(variables, inputs)),
+            platforms=platforms,
+        )(specs)
 
     if not out_path.endswith(_SUFFIX):
         out_path += _SUFFIX
@@ -98,8 +115,10 @@ def export_serving(cfg, state, out_path: str, platforms=None,
     with open(out_path, "wb") as f:
         f.write(blob)
     logger.info(
-        "Exported serving forward (%s, platforms=%s, %d classes, %.1f MB) "
-        "to %s", "int8" if cfg.TPU.INT8_EVAL else str(dt.__name__),
+        "Exported %s serving forward (%s, platforms=%s, %d classes, %.1f MB)"
+        " to %s",
+        "detection" if cfg.DETECTION.ENABLE else "classification",
+        "int8" if cfg.TPU.INT8_EVAL else str(dt.__name__),
         list(exported.platforms), cfg.MODEL.NUM_CLASSES,
         len(blob) / 1e6, out_path)
     return out_path
@@ -119,10 +138,10 @@ class ServingModel:
         self.platforms = tuple(self._exported.platforms)
         self.in_avals = tuple(self._exported.in_avals)
 
-    def __call__(self, inputs):
-        # same pytree calling convention as the exported fn: one arg, the
-        # pathway list
-        return np.asarray(self._exported.call(inputs))
+    def __call__(self, inputs, *rest):
+        # same pytree calling convention as the exported fn: the pathway
+        # list, plus (detection artifacts) the (b, max_boxes, 4) boxes
+        return np.asarray(self._exported.call(inputs, *rest))
 
 
 def load_serving(path: str) -> ServingModel:

@@ -50,6 +50,66 @@ def test_export_roundtrip_symbolic_batch(tmp_path):
         np.testing.assert_allclose(got.sum(-1), np.ones(b), rtol=1e-4)
 
 
+def _det_cfg():
+    """Tiny SlowFast R18 detection config (model fields only — export
+    needs no dataset paths)."""
+    cfg = get_cfg()
+    cfg.DETECTION.ENABLE = True
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 80
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2]] * 4
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.CROP_SIZE = 32
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_export_detection_roundtrip_symbolic_batch(tmp_path):
+    """Detection artifact: symbolic batch, static max_boxes; per-box scores
+    match the live RoI forward at two batch sizes."""
+    from efficient_slowfast_tpu.engine.state import make_detection_forward
+
+    cfg = _det_cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+
+    max_boxes = 3
+    path = export_serving(cfg, state, str(tmp_path / "det"),
+                          max_boxes=max_boxes)
+    serving = load_serving(path)
+    fwd = make_detection_forward(cfg, model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    s = cfg.DATA.TEST_CROP_SIZE
+    for b in (2, 4):
+        x = _inputs(cfg, b, seed=b)
+        r = np.random.RandomState(10 + b)
+        x1y1 = r.uniform(0, s / 2, (b, max_boxes, 2))
+        wh = r.uniform(2, s / 2, (b, max_boxes, 2))
+        boxes = jnp.asarray(
+            np.concatenate([x1y1, x1y1 + wh], axis=-1), jnp.float32)
+        got = serving(x, boxes)
+        want = np.asarray(jax.device_get(fwd(variables, x, boxes)))
+        assert got.shape == (b * max_boxes, cfg.MODEL.NUM_CLASSES)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        # sigmoid head: scores in (0, 1)
+        assert got.min() > 0.0 and got.max() < 1.0
+
+
 def test_export_int8_requires_calibration(tmp_path):
     cfg = _tiny_cfg()
     cfg.TPU.INT8_EVAL = True

@@ -35,6 +35,10 @@ def main():
                     help="Comma-separated lowering platforms (e.g. "
                          "'tpu' or 'tpu,cpu'); default: current backend. "
                          "Lets a CPU host package a TPU artifact.")
+    ap.add_argument("--max-boxes", type=int, default=32,
+                    help="Detection exports (DETECTION.ENABLE): static "
+                         "per-clip box padding width baked into the "
+                         "artifact; batch stays symbolic.")
     ap.add_argument("opts", nargs=argparse.REMAINDER, default=None,
                     help="KEY VALUE config override pairs.")
     args = ap.parse_args()
@@ -53,7 +57,8 @@ def main():
     state = cu.load_test_checkpoint(cfg, state)
 
     platforms = args.platforms.split(",") if args.platforms else None
-    path = export_serving(cfg, state, args.out, platforms=platforms)
+    path = export_serving(cfg, state, args.out, platforms=platforms,
+                          max_boxes=args.max_boxes)
     print(path)
 
 
