@@ -2,7 +2,12 @@
 """Headline benchmark: SlowFast-R50 8x8 Kinetics-400 30-view eval throughput.
 
 Default invocation prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": R,
+   "second_north_star": {...}}
+
+where second_north_star carries BASELINE.md's other headline model
+(SlowFastShuffleNetV2 w2.0 16x2 112², the `--mode shufflenetv2` metric) so
+the driver-recorded artifact covers both north stars in one invocation.
 
 measuring the jitted eval forward (post-softmax multi-view scores,
 TEST_CROP 256, 32-frame clips — the reference's standard 30-view test
@@ -756,7 +761,28 @@ def main():
                 time.sleep(60)
 
     if args.mode == "eval":
-        with_contention_retry(lambda: bench_eval(_flagship_cfg(), emit))
+        # The driver's headline invocation. Output stays ONE JSON line, but
+        # BASELINE.md names TWO north-star models — the second
+        # (SlowFastShuffleNetV2 w2.0) rides along as a nested key so the
+        # driver-recorded artifact carries both metrics. A failure on the
+        # second leg must never cost the headline: it degrades to an error
+        # string inside the same line.
+        lines = []
+        with_contention_retry(lambda: bench_eval(_flagship_cfg(),
+                                                 lines.append))
+        headline = lines[0]
+        try:
+            jax.clear_caches()  # drop the R50 executables before the 2nd leg
+            import gc
+
+            gc.collect()
+            snv2 = []
+            with_contention_retry(lambda: bench_shufflenetv2(snv2.append))
+            headline["second_north_star"] = snv2[0]
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            headline["second_north_star"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]}
+        emit(headline)
     elif args.mode == "train":
         with_contention_retry(lambda: bench_train(_flagship_cfg(), emit))
     elif args.mode == "shufflenetv2":
