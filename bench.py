@@ -726,8 +726,11 @@ def main():
         probe for a quiet window before each expensive attempt and retry
         with backoff inside a wall-clock budget instead of failing (or
         hanging) on the first hit. Output stays one JSON line: nothing is
-        emitted until success."""
-        budget = float(os.environ.get("BENCH_RETRY_SECS", "900"))
+        emitted until success. The default budget is sized to outlast the
+        observed co-tenant saturation episodes (a 900s budget expired
+        without a quiet window on 2026-08-19); override with
+        BENCH_RETRY_SECS."""
+        budget = float(os.environ.get("BENCH_RETRY_SECS", "2700"))
         deadline = time.monotonic() + budget
         while True:
             # Wait for a quiet window first (CPU runs skip the probe
@@ -777,7 +780,17 @@ def main():
 
             gc.collect()
             snv2 = []
-            with_contention_retry(lambda: bench_shufflenetv2(snv2.append))
+            # the second leg is best-effort: cap its retry budget so a
+            # saturated chip can't double the headline invocation's wall
+            # time (the headline JSON line is already secured above)
+            prev = os.environ.get("BENCH_RETRY_SECS")
+            os.environ.setdefault("BENCH_RETRY_SECS", "600")
+            try:
+                with_contention_retry(
+                    lambda: bench_shufflenetv2(snv2.append))
+            finally:
+                if prev is None:
+                    os.environ.pop("BENCH_RETRY_SECS", None)
             headline["second_north_star"] = snv2[0]
         except Exception as e:  # noqa: BLE001 — headline must survive
             headline["second_north_star"] = {
