@@ -267,3 +267,43 @@ def test_decode_failure_in_test_mode_raises(tmp_path, monkeypatch):
     monkeypatch.setattr(type(ds_train), "_decode_clip", flaky)
     item = ds_train[0]
     assert "label" in item and len(calls) >= 5
+
+
+def test_synthetic_clips_learnable_and_deterministic():
+    """The synthetic dataset must be learnable by memorization: clips carry
+    a label-keyed global color watermark (datasets.py::_decode_clip) so the
+    int8 accuracy proxy (bench.py::_int8_accuracy_proxy) trains to
+    confident, class-peaked logits. Content must also be a deterministic
+    function of video id — NOT hash(path), which PYTHONHASHSEED would
+    randomize across loader workers and multi-host peers."""
+    import numpy as np
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.DATA.DECODING_BACKEND = "synthetic"
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.MODEL.NUM_CLASSES = 4
+    ds = build_dataset("synthetic", cfg, "train")
+
+    # same video id decodes identically in a fresh dataset instance
+    ds2 = build_dataset("synthetic", cfg, "train")
+    np.testing.assert_array_equal(
+        ds._decode_clip(0, 0), ds2._decode_clip(0, 0))
+
+    # per-class mean colors are well separated; within-class (different
+    # videos, same label) they agree closely — the signal survives any
+    # crop because it is global
+    means = {}
+    for idx in range(16):  # videos 0..15, labels idx % 4
+        clip = ds._decode_clip(idx * ds._num_clips, 0)
+        means.setdefault(idx % 4, []).append(clip.mean(axis=(0, 1, 2)))
+    centroids = np.stack([np.mean(means[c], axis=0) for c in range(4)])
+    for c in range(4):
+        spread = np.abs(np.stack(means[c]) - centroids[c]).max()
+        assert spread < 3.0, f"class {c} within-class spread {spread}"
+    dists = np.abs(centroids[:, None] - centroids[None, :]).max(-1)
+    np.fill_diagonal(dists, np.inf)
+    assert dists.min() > 8.0, f"classes not separable: {dists.min()}"
