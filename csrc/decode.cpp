@@ -141,10 +141,21 @@ extern "C" {
 //   multi_thread  enable frame/slice threading
 //   out           buffer of num_frames * short_side * max_width * 3 bytes
 //   out_width     receives the true content width (<= max_width)
-int esf_decode_clip(const char* path, int num_frames, double sampling_rate,
-                    double target_fps, int clip_idx, int num_clips,
-                    double random01, int short_side, int max_width,
-                    int multi_thread, unsigned char* out, int* out_width) {
+//   keep_tall     (clip2) when nonzero, portrait (h > w) content is written
+//                 TRANSPOSED into the landscape canvas instead of being
+//                 center-cropped square: canvas rows = source columns
+//                 (short side), canvas cols = source rows (vertical extent,
+//                 center-cropped to max_width). The Python wrapper swaps the
+//                 axes back (a zero-copy view) so callers always receive
+//                 frames in natural orientation — this preserves the full
+//                 vertical extent the reference's 3-position tall-video test
+//                 protocol needs (slowfast/datasets/transform.py:425-468).
+//   out_portrait  (clip2) receives 1 when the transposed path was taken
+int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
+                     double target_fps, int clip_idx, int num_clips,
+                     double random01, int short_side, int max_width,
+                     int multi_thread, int keep_tall, unsigned char* out,
+                     int* out_width, int* out_portrait) {
     DecodeCtx ctx;
     int rc = open_video(path, multi_thread, &ctx);
     if (rc != 0) return rc;
@@ -208,10 +219,23 @@ int esf_decode_clip(const char* path, int num_frames, double sampling_rate,
         new_w = short_side;
         new_h = int(std::lround(double(in_h) * short_side / in_w));
     }
-    int crop_w = std::min(new_w, max_width);
-    int crop_h = std::min(new_h, short_side);
-    int x_off = (new_w - crop_w) / 2;
-    int y_off = (new_h - crop_h) / 2;
+    int portrait = (keep_tall && in_h > in_w && new_h > short_side) ? 1 : 0;
+    if (out_portrait) *out_portrait = portrait;
+    int crop_w, crop_h, x_off, y_off;
+    if (portrait) {
+        // transposed write: canvas rows = source columns (== short_side),
+        // canvas cols = source rows (vertical extent, center-cropped to
+        // the canvas width) — see the keep_tall doc above
+        crop_h = new_w;                         // == short_side
+        crop_w = std::min(new_h, max_width);    // source vertical extent
+        x_off = 0;
+        y_off = (new_h - crop_w) / 2;           // center crop along source y
+    } else {
+        crop_w = std::min(new_w, max_width);
+        crop_h = std::min(new_h, short_side);
+        x_off = (new_w - crop_w) / 2;
+        y_off = (new_h - crop_h) / 2;
+    }
     *out_width = crop_w;
 
     SwsContext* sws = sws_getContext(
@@ -239,16 +263,43 @@ int esf_decode_clip(const char* path, int num_frames, double sampling_rate,
         AVFrame* f = window[size_t(idx)].frame;
         sws_scale(sws, f->data, f->linesize, 0, in_h, dst_data, dst_linesize);
         uint8_t* dst = out + size_t(i) * frame_bytes;
-        for (int y = 0; y < crop_h; ++y) {
-            const uint8_t* src =
-                rgb.data() + (size_t(y + y_off) * new_w + x_off) * 3;
-            std::memcpy(dst + size_t(y) * row_bytes, src, size_t(crop_w) * 3);
+        if (portrait) {
+            // out[row=src_x][col=src_y - y_off]: pure axis swap
+            for (int x = 0; x < crop_h; ++x) {
+                uint8_t* orow = dst + size_t(x) * row_bytes;
+                for (int y = 0; y < crop_w; ++y) {
+                    const uint8_t* p =
+                        rgb.data() + (size_t(y + y_off) * new_w + x) * 3;
+                    orow[size_t(y) * 3 + 0] = p[0];
+                    orow[size_t(y) * 3 + 1] = p[1];
+                    orow[size_t(y) * 3 + 2] = p[2];
+                }
+            }
+        } else {
+            for (int y = 0; y < crop_h; ++y) {
+                const uint8_t* src =
+                    rgb.data() + (size_t(y + y_off) * new_w + x_off) * 3;
+                std::memcpy(dst + size_t(y) * row_bytes, src,
+                            size_t(crop_w) * 3);
+            }
         }
     }
 
     sws_freeContext(sws);
     for (auto& f : window) av_frame_free(&f.frame);
     return 0;
+}
+
+// Original ABI: tall content center-cropped square (pre-r4 behavior).
+int esf_decode_clip(const char* path, int num_frames, double sampling_rate,
+                    double target_fps, int clip_idx, int num_clips,
+                    double random01, int short_side, int max_width,
+                    int multi_thread, unsigned char* out, int* out_width) {
+    int portrait = 0;
+    return esf_decode_clip2(path, num_frames, sampling_rate, target_fps,
+                            clip_idx, num_clips, random01, short_side,
+                            max_width, multi_thread, /*keep_tall=*/0, out,
+                            out_width, &portrait);
 }
 
 // Probe basic stream info. Returns 0 on success.

@@ -116,7 +116,10 @@ class Ava:
         t, orig_h, orig_w, _ = frames.shape
         short = (int(cfg.DATA.TRAIN_JITTER_SCALES[0])
                  if self._split == "train" else int(cfg.DATA.TEST_CROP_SIZE))
-        canvas, width = fit_canvas(frames, short)
+        # keep_portrait=False: boxes are in canvas pixel coordinates and the
+        # detection preprocess has no crop/transpose stage (AVA media is
+        # landscape; a transposed canvas would invalidate the box coords)
+        canvas, width, _ = fit_canvas(frames, short)
 
         boxes = np.array([e[0] for e in entries], np.float32).reshape(-1, 4)
         ori_boxes = boxes.copy()

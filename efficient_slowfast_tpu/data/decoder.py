@@ -73,12 +73,31 @@ def get_lib() -> ctypes.CDLL:
                 pass
             _build_lib(reason="failed to load (wrong platform or stale?)")
             lib = ctypes.CDLL(path)
+        try:
+            lib.esf_decode_clip2
+        except AttributeError:
+            # an installed pre-r4 binary without the keep_tall entry point:
+            # rebuild from source (same policy as the wrong-platform path)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            _build_lib(reason="predates esf_decode_clip2 (stale wheel?)")
+            lib = ctypes.CDLL(path)
         lib.esf_decode_clip.restype = ctypes.c_int
         lib.esf_decode_clip.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.esf_decode_clip2.restype = ctypes.c_int
+        lib.esf_decode_clip2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
         ]
         lib.esf_probe.restype = ctypes.c_int
         lib.esf_probe.argtypes = [
@@ -109,7 +128,15 @@ def decode_clip(path: str, num_frames: int, sampling_rate: float,
                 clip_idx: int, num_clips: int, target_fps: float,
                 short_side: int, random_clip: bool,
                 multi_thread: bool = False) -> Optional[np.ndarray]:
-    """Decode one clip → uint8 (num_frames, short_side, W, 3), W ≤ 2·short.
+    """Decode one clip in NATURAL orientation, short side == short_side.
+
+    Landscape → uint8 (num_frames, short_side, W, 3), W ≤ 2·short.
+    Portrait  → uint8 (num_frames, H, short_side, 3), H ≤ 2·short — the C++
+    layer writes tall content transposed into the landscape canvas
+    (esf_decode_clip2 keep_tall) and the axis swap back here is a zero-copy
+    view, so the full vertical extent survives for the reference's
+    3-position tall-video test protocol (transform.py:425-468; the canvas
+    feeder re-transposes via fit_canvas keep_portrait).
 
     Returns None on decode failure (caller retries per the reference's
     retry-with-replacement policy, kinetics.py:192-255).
@@ -118,18 +145,22 @@ def decode_clip(path: str, num_frames: int, sampling_rate: float,
     max_w = short_side * 2
     out = np.zeros((num_frames, short_side, max_w, 3), np.uint8)
     out_w = ctypes.c_int(0)
+    out_portrait = ctypes.c_int(0)
     rnd = random.random() if random_clip else 0.0
-    rc = lib.esf_decode_clip(
+    rc = lib.esf_decode_clip2(
         path.encode(), num_frames, float(sampling_rate), float(target_fps),
         -1 if random_clip else int(clip_idx), int(num_clips), float(rnd),
-        int(short_side), int(max_w), int(bool(multi_thread)),
+        int(short_side), int(max_w), int(bool(multi_thread)), 1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        ctypes.byref(out_w),
+        ctypes.byref(out_w), ctypes.byref(out_portrait),
     )
     if rc != 0:
         logger.warning("native decode failed (%d) for %s", rc, path)
         return None
-    return out[:, :, : out_w.value]
+    frames = out[:, :, : out_w.value]
+    if out_portrait.value:
+        frames = np.swapaxes(frames, 1, 2)
+    return frames
 
 
 def probe(path: str):

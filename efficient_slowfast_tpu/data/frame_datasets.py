@@ -105,10 +105,12 @@ class _FrameListDataset:
 
     def _sample(self, frames: np.ndarray, index: int, label,
                 spatial_idx: int, temporal_idx: int) -> Dict[str, np.ndarray]:
-        canvas, width = fit_canvas(frames, self._short_side())
+        canvas, width, portrait = fit_canvas(
+            frames, self._short_side(), keep_portrait=True)
         return {
             "frames": canvas,
             "width": np.int32(width),
+            "portrait": np.int32(portrait),
             "label": label,
             "index": np.int64(index // self._num_clips
                               if self.mode == "test" else index),

@@ -305,7 +305,8 @@ def shuffle_dataset(loader: ClipLoader, cur_epoch: int):
     loader.set_epoch(cur_epoch)
 
 
-def prefetch_to_device(loader, mesh, keys=("frames", "width", "label"),
+def prefetch_to_device(loader, mesh,
+                       keys=("frames", "width", "label", "portrait"),
                        depth: int = 2, host_copy=()):
     """Iterate `loader`, device_put-ing the next batches ahead of consumption.
 

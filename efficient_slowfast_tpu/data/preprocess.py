@@ -35,7 +35,7 @@ def make_train_preprocess(cfg, crop_size=None):
     jitter = tuple(cfg.DATA.TRAIN_COLOR_JITTER)
 
     @jax.jit
-    def pre(rng, frames, widths):
+    def pre(rng, frames, widths, portrait=None):
         b = frames.shape[0]
         h = frames.shape[2]
         k_box, k_flip, k_jit = jax.random.split(rng, 3)
@@ -50,6 +50,10 @@ def make_train_preprocess(cfg, crop_size=None):
             k_box, b, h, widths, min_s, max_s, crop, inverse_uniform=inv
         )
         x = T.crop_and_resize(x, boxes, crop)
+        if portrait is not None:
+            # restore tall clips' orientation BEFORE the flip so the flip
+            # stays horizontal in content coordinates
+            x = T.transpose_portrait(x, portrait)
         if flip:
             x = T.horizontal_flip(k_flip, x)
         return pack_pathway_output(cfg, x)
@@ -119,11 +123,16 @@ def make_test_preprocess(cfg):
     crop = cfg.DATA.TEST_CROP_SIZE
 
     @jax.jit
-    def pre(frames, widths, spatial_idx):
+    def pre(frames, widths, spatial_idx, portrait=None):
         h = frames.shape[2]
         x = T.tensor_normalize(frames, mean, std)
         boxes = T.uniform_crop_boxes(h, widths, crop, crop, spatial_idx)
         x = T.crop_and_resize(x, boxes, crop)
+        if portrait is not None:
+            # tall clips ride the canvas transposed; the crop above was along
+            # their original vertical axis (top/center/bottom views) — swap
+            # the square crop back (reference: transform.py:425-468)
+            x = T.transpose_portrait(x, portrait)
         return pack_pathway_output(cfg, x)
 
     return pre

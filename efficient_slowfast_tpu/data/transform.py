@@ -135,12 +135,36 @@ def uniform_crop_boxes(
     win = crop_size * short / float(scale)
     max_y = jnp.float32(height) - win
     max_x = widths - win
-    frac = spatial_idx.astype(jnp.float32) / 2.0  # 0, 0.5, 1
-    # wider-than-tall: offset along x; taller-than-wide: along y
+    # centered offsets use ceil like the reference (int(math.ceil((w-size)/2)),
+    # transform.py:447-448) so integer-sized crops land on the exact pixels
+    sidx = spatial_idx.astype(jnp.float32)
+
+    def pos(max_off):  # 0 → 0, 1 → ceil(max/2), 2 → max
+        return jnp.where(sidx == 0, 0.0,
+                         jnp.where(sidx == 1.0, jnp.ceil(max_off / 2.0),
+                                   max_off))
+
+    # wider-than-tall: offset along x; taller-than-wide: along y (portrait
+    # canvases are stored transposed — datasets.fit_canvas_into — so in
+    # practice is_wide always holds and the x axis is the crop axis)
     is_wide = widths >= height
-    oy = jnp.where(is_wide, max_y / 2.0, frac * max_y)
-    ox = jnp.where(is_wide, frac * max_x, max_x / 2.0)
+    oy = jnp.where(is_wide, jnp.ceil(max_y / 2.0), pos(max_y))
+    ox = jnp.where(is_wide, pos(max_x), jnp.ceil(max_x / 2.0))
     return jnp.stack([oy, ox, oy + win, ox + win], axis=1)
+
+
+def transpose_portrait(frames: jnp.ndarray, portrait: jnp.ndarray):
+    """Swap H↔W of square crops flagged as transposed portrait storage.
+
+    `frames` (B, T, S, S, C); `portrait` (B,) {0,1}. Tall clips ride the
+    canvas axis-swapped (datasets.fit_canvas_into keep_portrait) so the
+    uniform/random crop along canvas-x covers the original vertical axis;
+    this restores their orientation after the crop. A pure transpose is its
+    own inverse — no pixel is interpolated or flipped.
+    """
+    swapped = jnp.swapaxes(frames, 2, 3)
+    flag = portrait.astype(bool)[:, None, None, None, None]
+    return jnp.where(flag, swapped, frames)
 
 
 def horizontal_flip(rng: jax.Array, frames: jnp.ndarray, prob: float = 0.5):

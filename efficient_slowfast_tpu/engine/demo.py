@@ -289,7 +289,7 @@ def demo(cfg, stream=None, display=None):
         for widx, frames in stream:
             from ..data.datasets import fit_canvas
 
-            canvas, width = fit_canvas(frames, short)
+            canvas, width, _ = fit_canvas(frames, short)
             # single-clip window: replicate rather than data-shard (batch 1
             # is not divisible by the mesh; the demo is a latency, not
             # throughput, path)
@@ -419,7 +419,7 @@ def _detection_window_loop(cfg, model, variables, fwd, preprocess, rep,
 
     t_prev = time.time()
     for widx, frames in stream:
-        canvas, width = fit_canvas(frames, short)
+        canvas, width, _ = fit_canvas(frames, short)
         nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
         if len(nboxes) == 0:
             # keep the output video time-continuous: pass the window

@@ -167,10 +167,12 @@ def calibrate_for_test(cfg, model, variables, mesh):
 
         preprocess = jax.jit(make_test_preprocess(cfg))
         for batch in prefetch_to_device(
-            loader, mesh, keys=("frames", "width", "spatial_idx"), depth=1,
+            loader, mesh,
+            keys=("frames", "width", "spatial_idx", "portrait"), depth=1,
         ):
             batches.append(preprocess(
-                batch["frames"], batch["width"], batch["spatial_idx"]))
+                batch["frames"], batch["width"], batch["spatial_idx"],
+                batch.get("portrait")))
             if len(batches) >= n:
                 break
     return calibrate_int8(model, variables, batches)["quant"]

@@ -62,7 +62,8 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
     # pathways into the preprocess epilogue instead of a separate 1.6 GB
     # copy between the two dispatches
     run = compile_fence(  # multi-host: compile + barrier before dispatch
-        jax.jit(lambda v, f, w, s: fwd(v, preprocess(f, w, s))), "test_run")
+        jax.jit(lambda v, f, w, s, p: fwd(v, preprocess(f, w, s, p))),
+        "test_run")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if quant is not None:
         variables["quant"] = quant
@@ -70,7 +71,7 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
 
     meter.iter_tic()
     for cur_iter, batch in enumerate(prefetch_to_device(
-        loader, mesh, keys=("frames", "width", "spatial_idx"),
+        loader, mesh, keys=("frames", "width", "spatial_idx", "portrait"),
         depth=cfg.DATA_LOADER.PREFETCH_DEPTH, host_copy=("spatial_idx",),
     )):
         frames, widths, sidx = (batch["frames"], batch["width"],
@@ -78,7 +79,8 @@ def perform_test(cfg, state, model, loader, meter, mesh, quant=None):
         # this host's rows only: labels/clip ids/_valid below are the
         # host-local batch metadata (multi-host: remote shards are neither
         # addressable nor ours to ensemble — gather_across_hosts merges)
-        preds = fetch_local_rows(run(variables, frames, widths, sidx))
+        preds = fetch_local_rows(
+            run(variables, frames, widths, sidx, batch["portrait"]))
         labels = np.asarray(batch["label"])
         clip_ids = (
             np.asarray(batch["index"]) * meter.num_clips

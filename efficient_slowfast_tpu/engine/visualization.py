@@ -41,7 +41,9 @@ def visualize(cfg):
         frames = shard_batch(mesh, batch["frames"])
         widths = shard_batch(mesh, batch["width"])
         sidx = shard_batch(mesh, batch["spatial_idx"])
-        inputs = preprocess(frames, widths, sidx)
+        portrait = (shard_batch(mesh, batch["portrait"])
+                    if "portrait" in batch else None)
+        inputs = preprocess(frames, widths, sidx, portrait)
         for p, path in enumerate(jax.device_get(inputs)):
             video = np.asarray(path) * std + mean  # revert normalization
             video = np.clip(video, 0.0, 1.0)

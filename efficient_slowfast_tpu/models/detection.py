@@ -44,7 +44,9 @@ class ResNetRoIHead(nn.Module):
                 feat, bboxes,
                 output_size=self.resolution[p][0],
                 spatial_scale=1.0 / self.scale_factor[p],
-                sampling_ratio=2,
+                # adaptive ceil(bin) grid, detectron2 semantics
+                # (reference: head_helper.py:75-81 sampling_ratio=0)
+                sampling_ratio=0,
                 aligned=self.aligned,
             )
             pool_out.append(jnp.max(rois, axis=(1, 2)))  # (R, C)

@@ -2,23 +2,29 @@
 
 Replaces detectron2's C++/CUDA ROIAlign (reference:
 config_slowfast/detectron2/detectron2/layers/csrc/ROIAlign/, used by
-slowfast/models/head_helper.py:75-81). Semantics follow detectron2
-``aligned=True``: box coordinates are scaled then shifted by −0.5 so samples
-align with pixel centers; out-of-bounds samples (beyond [−1, size]) contribute
-zero, like the CUDA kernel's border handling.
+slowfast/models/head_helper.py:49-81 with ``sampling_ratio=0``). Semantics
+follow detectron2 ``aligned=True``: box coordinates are scaled then shifted
+by −0.5 so samples align with pixel centers; out-of-bounds samples (beyond
+[−1, size]) contribute zero but still count toward the bin average, like the
+CUDA kernel's border handling.
 
-TPU note: torch's ``sampling_ratio=0`` means an adaptive per-box grid
-(ceil(bin/out)); a data-dependent grid is not expressible with static shapes,
-so a FIXED sampling grid (default 2×2 per bin, the detectron2 default for
-typical feature strides) is used. For the AVA head (7×7 bins over ~14×14
-features) the adaptive grid is ≤2 almost always, so this matches the
-reference numerically for all but extremely large boxes.
+``sampling_ratio=0`` is torch's ADAPTIVE grid: each ROI samples
+ceil(bin_h) × ceil(bin_w) points per bin (ROIAlign_cpu.cpp
+``roi_bin_grid_h = ceil(roi_height / pooled_height)``). A data-dependent
+sample count is not expressible with static shapes under jit, so the kernel
+samples a static ceil(max(H, W)/out) grid per bin and MASKS samples beyond
+each ROI's true adaptive count — numerically identical to torch for every
+box that fits the feature map (boxes are clipped to the crop upstream, so
+the static cap is exact; a hypothetical larger box would be under-sampled
+at the cap rather than erroring).
 
 Everything is batched gathers + elementwise math — XLA fuses it; boxes ride
 the batch dimension so the op scales with detection count, not image size.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +35,12 @@ def roi_align(
     boxes: jnp.ndarray,      # (R, 5) [batch_idx, x1, y1, x2, y2] in input coords
     output_size: int,
     spatial_scale: float,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     aligned: bool = True,
 ) -> jnp.ndarray:            # (R, output_size, output_size, C)
     b, h, w, c = features.shape
     out = output_size
-    n = max(int(sampling_ratio), 1)
+    r = boxes.shape[0]
 
     batch_idx = boxes[:, 0].astype(jnp.int32)
     offset = 0.5 if aligned else 0.0
@@ -50,11 +56,27 @@ def roi_align(
     bin_w = roi_w / out
     bin_h = roi_h / out
 
-    # sample coordinates: (R, out*n)
-    grid = (jnp.arange(out)[:, None] + (jnp.arange(n)[None, :] + 0.5) / n)
-    grid = grid.reshape(-1)  # (out*n,)
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+    if sampling_ratio > 0:
+        n = int(sampling_ratio)
+        n_h = jnp.full((r,), float(n), jnp.float32)
+        n_w = n_h
+    else:
+        # static cap: clipped boxes span at most the feature map, whose bins
+        # are at most ceil(max(H, W)/out) wide
+        n = max(1, math.ceil(max(h, w) / out))
+        n_h = jnp.clip(jnp.ceil(bin_h), 1.0, n)
+        n_w = jnp.clip(jnp.ceil(bin_w), 1.0, n)
+
+    # per-ROI sample grid: position ph + (i + 0.5)/n_axis within each bin,
+    # flattened to (R, out*n); samples with i >= n_axis are masked below
+    ph = jnp.arange(out, dtype=jnp.float32)           # (out,)
+    sub = jnp.arange(n, dtype=jnp.float32) + 0.5      # (n,)
+    gy = ph[None, :, None] + (sub[None, :] / n_h[:, None])[:, None, :]
+    gx = ph[None, :, None] + (sub[None, :] / n_w[:, None])[:, None, :]
+    ys = y1[:, None] + gy.reshape(r, out * n) * bin_h[:, None]
+    xs = x1[:, None] + gx.reshape(r, out * n) * bin_w[:, None]
+    my = jnp.arange(n)[None, :] < n_h[:, None]        # (R, n)
+    mx = jnp.arange(n)[None, :] < n_w[:, None]
 
     def sample_one(feat, yy, xx):
         # feat (H, W, C); yy, xx (out*n,) → (out*n, out*n, C)
@@ -79,7 +101,11 @@ def roi_align(
         return vals * mask[..., None]
 
     samples = jax.vmap(sample_one)(features[batch_idx], ys, xs)
-    # average the n×n samples per bin
-    r = samples.shape[0]
+    # masked average over each bin's ACTIVE n_h×n_w samples (adaptive grid);
+    # for sampling_ratio>0 every sample is active and this is a plain mean
     samples = samples.reshape(r, out, n, out, n, c)
-    return samples.mean(axis=(2, 4))
+    active = (my[:, None, :, None, None] & mx[:, None, None, None, :])
+    count = (n_h * n_w)[:, None, None, None]
+    pooled = (samples * active[..., None].astype(samples.dtype)).sum(
+        axis=(2, 4))
+    return pooled / count.astype(samples.dtype)

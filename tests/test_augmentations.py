@@ -132,3 +132,112 @@ def test_detection_train_preprocess_deterministic():
     b = pre(k, frames, widths, boxes)
     np.testing.assert_allclose(np.asarray(a[0][0]), np.asarray(b[0][0]))
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
+
+def test_portrait_three_position_crop_matches_reference():
+    """Tall (portrait) videos must produce the reference's 3-position
+    top/center/bottom test views (reference: transform.py:425-468 via
+    kinetics test mode min=max=crop), NOT a collapsed center square
+    (VERDICT r3 missing #3). The host stores tall clips transposed
+    (datasets.fit_canvas keep_portrait) and the device preprocess swaps the
+    square crop back (transform.transpose_portrait)."""
+    from efficient_slowfast_tpu.data.datasets import fit_canvas
+    from efficient_slowfast_tpu.data.preprocess import make_test_preprocess
+
+    cfg = get_cfg()
+    crop = 16
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.DATA.TEST_CROP_SIZE = crop
+    cfg.DATA.MEAN = [0.0, 0.0, 0.0]
+    cfg.DATA.STD = [1.0, 1.0, 1.0]
+
+    # portrait source, short side (width) already == crop as the decoder
+    # delivers; height 1.8x width (inside the 2:1 canvas) with an odd slack
+    # to exercise the ceil
+    h_src, w_src = 29, crop
+    rs = np.random.RandomState(7)
+    frames = rs.randint(0, 255, (4, h_src, w_src, 3), np.uint8)
+
+    canvas, width, portrait = fit_canvas(frames, crop, keep_portrait=True)
+    assert portrait == 1
+    assert width == h_src  # stored transposed: canvas width = source height
+
+    pre = make_test_preprocess(cfg)
+    views = []
+    for sidx in (0, 1, 2):
+        out = pre(jnp.asarray(canvas)[None],
+                  jnp.asarray([width], jnp.int32),
+                  jnp.asarray([sidx], jnp.int32),
+                  jnp.asarray([portrait], jnp.int32))
+        views.append(np.asarray(out[1][0]))  # fast pathway, full frames
+
+    # reference uniform_crop semantics on the ORIGINAL portrait frames:
+    # y_offset = 0 / ceil((h-size)/2) / h-size, x full (transform.py:447-460)
+    ref = frames.astype(np.float32) / 255.0
+    offs = [0, int(np.ceil((h_src - crop) / 2)), h_src - crop]
+    for v, oy in zip(views, offs):
+        np.testing.assert_allclose(
+            v, ref[:, oy:oy + crop, :, :], atol=1e-5,
+            err_msg=f"portrait crop at y={oy}")
+    # and the three views are genuinely distinct
+    assert np.abs(views[0] - views[1]).max() > 1e-3
+    assert np.abs(views[1] - views[2]).max() > 1e-3
+
+
+def test_landscape_center_crop_uses_ceil_offset():
+    """Center crop offsets must match the reference's int(ceil((w-size)/2))
+    exactly when the slack is odd (transform.py:447-448)."""
+    crop = 16
+    widths = jnp.asarray([37], jnp.int32)
+    boxes = np.asarray(T.uniform_crop_boxes(crop, widths, crop, crop,
+                                            jnp.asarray([1], jnp.int32)))
+    assert boxes[0, 1] == float(int(np.ceil((37 - crop) / 2)))
+    # left/right positions pin to the exact window ends
+    b0 = np.asarray(T.uniform_crop_boxes(crop, widths, crop, crop,
+                                         jnp.asarray([0], jnp.int32)))
+    b2 = np.asarray(T.uniform_crop_boxes(crop, widths, crop, crop,
+                                         jnp.asarray([2], jnp.int32)))
+    assert b0[0, 1] == 0.0 and b2[0, 1] == float(37 - crop)
+
+
+def test_portrait_train_preprocess_flips_content_horizontally():
+    """Train flip on a portrait clip must flip the ORIGINAL horizontal axis
+    (content x), not the canvas x (which is the original vertical axis for
+    transposed portrait storage)."""
+    from efficient_slowfast_tpu.data.datasets import fit_canvas
+    from efficient_slowfast_tpu.data.preprocess import make_train_preprocess
+
+    cfg = get_cfg()
+    crop = 8
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.DATA.TRAIN_JITTER_SCALES = [crop, crop]
+    cfg.DATA.TRAIN_CROP_SIZE = crop
+    cfg.DATA.MEAN = [0.0, 0.0, 0.0]
+    cfg.DATA.STD = [1.0, 1.0, 1.0]
+    cfg.DATA.RANDOM_FLIP = True
+
+    # portrait: height == 2*crop, width == crop; left half bright, right dark
+    frames = np.zeros((4, 2 * crop, crop, 3), np.uint8)
+    frames[:, :, : crop // 2] = 200
+    canvas, width, portrait = fit_canvas(frames, crop, keep_portrait=True)
+    assert portrait == 1
+
+    pre = make_train_preprocess(cfg)
+    # scan keys until one clip flips and one doesn't
+    seen = {True: None, False: None}
+    for s in range(16):
+        out = np.asarray(pre(jax.random.PRNGKey(s),
+                             jnp.asarray(canvas)[None],
+                             jnp.asarray([width], jnp.int32),
+                             jnp.asarray([portrait], jnp.int32))[1][0])
+        bright_left = out[:, :, : crop // 2].mean() > out[:, :, crop // 2:].mean()
+        seen[bool(bright_left)] = out
+        if all(v is not None for v in seen.values()):
+            break
+    assert all(v is not None for v in seen.values()), "flip never toggled"
+    # flipped or not, rows (original vertical) must stay uniform per column
+    # band — i.e. the flip acted on the content-x axis only
+    for v in seen.values():
+        col_var = v.mean(axis=(0, 3)).var(axis=0).max()
+        assert col_var < 1e-4, "flip disturbed the vertical axis"

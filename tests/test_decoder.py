@@ -186,3 +186,49 @@ def test_streaming_encoder_roundtrip(tmp_path):
             enc2.append(rs.randint(0, 255, (2, 48, 64, 4), np.uint8))
         with pytest.raises(ValueError):  # float frames are not truncated
             enc2.append(rs.rand(2, 48, 64, 3).astype(np.float32))
+
+
+def test_decode_portrait_keeps_vertical_extent(tmp_path):
+    """Tall videos decode in natural portrait orientation with the FULL
+    vertical extent (up to the 2:1 canvas), not center-cropped square —
+    esf_decode_clip2 keep_tall + the zero-copy swap-back in decode_clip.
+    A vertical gradient pins the orientation and crop correctness."""
+    path = str(tmp_path / "portrait.mp4")
+    n, h, w = 40, 192, 112  # 12:7 portrait
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    # rows encode their own position; columns encode theirs in green
+    frames[:, :, :, 0] = np.arange(h, dtype=np.uint8)[None, :, None]
+    frames[:, :, :, 1] = (np.arange(w) * 2).astype(np.uint8)[None, None, :]
+    decoder.write_test_video(path, frames, fps=30)
+
+    short = 56  # half-size decode: expect (T, 96, 56, 3)
+    clip = decoder.decode_clip(path, num_frames=4, sampling_rate=2,
+                               clip_idx=0, num_clips=2, target_fps=30,
+                               short_side=short, random_clip=False)
+    assert clip.shape[1:] == (96, short, 3), clip.shape
+    # vertical gradient preserved along axis 1 (rows), ~2x downsampled
+    red_rows = clip[0, :, :, 0].mean(axis=1)
+    assert red_rows[5] < red_rows[48] < red_rows[90]
+    expected = (np.arange(96) * 2 + 0.5).astype(np.float32)  # src row ≈ 2*out
+    assert np.abs(red_rows - expected).mean() < 3.0
+    # horizontal gradient along axis 2 (cols)
+    green_cols = clip[0, :, :, 1].mean(axis=0)
+    assert green_cols[5] < green_cols[28] < green_cols[50]
+
+
+def test_decode_portrait_beyond_2to1_center_crops(tmp_path):
+    """Aspect > 2:1 portrait still caps at the 2:1 canvas, centered."""
+    path = str(tmp_path / "tall.mp4")
+    n, h, w = 20, 300, 100  # 3:1
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    frames[:, :, :, 0] = np.linspace(0, 250, h).astype(np.uint8)[None, :, None]
+    decoder.write_test_video(path, frames, fps=30)
+    short = 50
+    clip = decoder.decode_clip(path, num_frames=4, sampling_rate=2,
+                               clip_idx=0, num_clips=2, target_fps=30,
+                               short_side=short, random_clip=False)
+    assert clip.shape[1:] == (100, short, 3), clip.shape  # capped at 2*short
+    # centered: the visible gradient spans the middle third of the source
+    red = clip[0, :, :, 0].mean()
+    full = float(np.linspace(0, 250, h).mean())
+    assert abs(red - full) < 12.0
