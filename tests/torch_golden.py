@@ -12,6 +12,7 @@ into our flax models and we can compare full-model logits end to end:
 All modules are eval/train-agnostic torch code; BN eps=1e-5, momentum=0.1.
 """
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -1117,3 +1118,85 @@ class TorchSlowNLN(nn.Module):
         x = self.s4(x)
         x = self.s5(x)
         return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# Reference COMPOSED test-time preprocessing, transcribed for the
+# cross-pipeline parity harness (tests/test_pipeline_parity.py).
+# Sources: slowfast/datasets/kinetics.py:122-255 (__getitem__ order:
+# tensor_normalize -> THWC->CTHW permute -> spatial_sampling ->
+# pack_pathway_output), slowfast/datasets/utils.py:73-203,298-317,
+# slowfast/datasets/transform.py:283-337 (short-side resize) and :425-468
+# (uniform_crop).
+# ---------------------------------------------------------------------------
+
+def reference_tensor_normalize(t, mean, std):
+    """utils.py:298-317 — uint8 -> float/255, then -mean, /std (last dim)."""
+    if t.dtype == torch.uint8:
+        t = t.float() / 255.0
+    return (t - torch.tensor(mean)) / torch.tensor(std)
+
+
+def reference_short_side_resize(images, size):
+    """transform.py:283-337 with min==max==size (deterministic test branch):
+    no-op when the short side already equals size, else bilinear interpolate
+    (align_corners=False) with floor'ed long side."""
+    import math
+
+    height, width = images.shape[2], images.shape[3]
+    if (width <= height and width == size) or (
+            height <= width and height == size):
+        return images
+    new_width = new_height = size
+    if width < height:
+        new_height = int(math.floor((float(height) / width) * size))
+    else:
+        new_width = int(math.floor((float(width) / height) * size))
+    return torch.nn.functional.interpolate(
+        images, size=(new_height, new_width), mode="bilinear",
+        align_corners=False)
+
+
+def reference_uniform_crop(images, size, spatial_idx):
+    """transform.py:425-468 — 3-position crop with ceil'ed center offsets."""
+    import math
+
+    assert spatial_idx in (0, 1, 2)
+    height, width = images.shape[2], images.shape[3]
+    y_offset = int(math.ceil((height - size) / 2))
+    x_offset = int(math.ceil((width - size) / 2))
+    if height > width:
+        if spatial_idx == 0:
+            y_offset = 0
+        elif spatial_idx == 2:
+            y_offset = height - size
+    else:
+        if spatial_idx == 0:
+            x_offset = 0
+        elif spatial_idx == 2:
+            x_offset = width - size
+    return images[:, :, y_offset:y_offset + size, x_offset:x_offset + size]
+
+
+def reference_pack_pathway(frames, alpha):
+    """utils.py:73-112 — slow = linspace index_select of every alpha-th
+    frame along T (frames are CTHW)."""
+    fast = frames
+    slow = torch.index_select(
+        frames, 1,
+        torch.linspace(0, frames.shape[1] - 1,
+                       frames.shape[1] // alpha).long())
+    return [slow, fast]
+
+
+def reference_test_views(frames_thwc_uint8, spatial_idx, crop, mean, std,
+                         alpha):
+    """The reference's full composed test-mode chain for one clip
+    (kinetics.py:122-255 with min=max=crop): returns [slow, fast] CTHW
+    float tensors with a leading batch dim of 1."""
+    t = torch.from_numpy(np.ascontiguousarray(frames_thwc_uint8))
+    t = reference_tensor_normalize(t, mean, std)
+    t = t.permute(3, 0, 1, 2)  # THWC -> CTHW
+    t = reference_short_side_resize(t, crop)
+    t = reference_uniform_crop(t, crop, spatial_idx)
+    return [p.unsqueeze(0) for p in reference_pack_pathway(t, alpha)]
