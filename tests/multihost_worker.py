@@ -133,6 +133,54 @@ def run_full_train_and_test(output_dir, num_shards):
     return {"step": int(state.step), "top1_acc": float(stats["top1_acc"])}
 
 
+def run_orbax_train_and_test(output_dir, num_shards):
+    """Multi-host ORBAX e2e (VERDICT r3 next #6): collective async sharded
+    save from BOTH hosts during train (utils/checkpoint.py::_save_orbax —
+    every process contributes its addressable shards), drain, then the test
+    engine restores the .orbax directory and re-shards; engine/state.py::
+    _verify_state_consistency cross-checksums the restored state so a host
+    that read a divergent copy fails loudly. Returns the post-train and
+    restored params/batch_stats crc32s for the bit-equality assertion."""
+    import zlib
+
+    from efficient_slowfast_tpu.engine.test import test as run_test
+    from efficient_slowfast_tpu.engine.train import train
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.engine.state import create_train_state
+    from efficient_slowfast_tpu.utils import checkpoint as cu
+
+    import jax
+
+    def crc_of(params, batch_stats):
+        crc = 0
+        for leaf in jax.tree_util.tree_leaves(
+                {"p": params, "b": batch_stats}):
+            crc = zlib.crc32(np.asarray(leaf).tobytes(), crc)
+        return hex(crc)
+
+    cfg = engine_cfg(output_dir, num_shards)
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    state = train(cfg)  # drains async saves before returning
+    trained_crc = crc_of(state.params, state.batch_stats)
+
+    # the exact restore path the test engine takes (newest checkpoint in
+    # OUTPUT_DIR — the .orbax dir written above)
+    fresh, _ = create_train_state(cfg, build_model(cfg),
+                                  jax.random.PRNGKey(123))
+    restored = cu.load_test_checkpoint(cfg, fresh)
+    restored_crc = crc_of(restored.params, restored.batch_stats)
+
+    stats = run_test(cfg)
+    ckpts = sorted(os.listdir(os.path.join(output_dir, "checkpoints")))
+    return {
+        "step": int(state.step),
+        "top1_acc": float(stats["top1_acc"]),
+        "trained_crc": trained_crc,
+        "restored_crc": restored_crc,
+        "checkpoints": ckpts,
+    }
+
+
 def detection_cfg(base, num_shards):
     """The shared 2-keyframe AVA detection test config over a pre-built
     on-disk fixture (tests/test_ava.py::make_ava_fixture at <base>/ava_fx;
@@ -200,6 +248,9 @@ def main():
     mode = sys.argv[5] if len(sys.argv) > 5 else "steps"
     if mode == "train":
         res = run_full_train_and_test(
+            os.path.dirname(os.path.abspath(out_path)), nprocs)
+    elif mode == "orbax":
+        res = run_orbax_train_and_test(
             os.path.dirname(os.path.abspath(out_path)), nprocs)
     elif mode == "detection":
         res = run_detection_test(
