@@ -323,6 +323,17 @@ _C.TPU.REMAT = False
 # memory — rematting only them keeps batch headroom without recomputing
 # s4/s5 in backward (PERF.md round-3 train sweep).
 _C.TPU.REMAT_STAGES = []
+# Gradient accumulation: split each train batch into N sequential
+# microbatches inside the jitted step (grads averaged, ONE optimizer
+# update; BN batch statistics update per microbatch, so BN sees batches of
+# B/N — the same semantics as torch-style accumulation over N loader
+# steps). Trades step latency for activation memory: peak activations
+# scale with B/N while the optimizer math sees the full batch B.
+_C.TPU.GRAD_ACCUM_STEPS = 1
+# Dtype for optimizer moment buffers (SGD momentum / Adam moments).
+# "bfloat16" halves optimizer-state HBM at a small statistics-precision
+# cost (updates are still computed in f32; only storage is cast).
+_C.TPU.OPTIMIZER_STATE_DTYPE = "float32"
 # Log a per-module params/FLOPs table at model build (flax nn.tabulate over
 # XLA cost analysis; stand-in for the reference's ptflops per-layer stats,
 # reference: misc.py:153-162).
@@ -334,8 +345,8 @@ _C.TPU.TAP_DECOMPOSE = False
 # output-pixel block packed into conv output channels (1.5x the fast stem
 # on v5e; exact rewrite, checkpoint-compatible).
 _C.TPU.STEM_D2S = False
-# Serve 1x1x1 convs as calibrated int8 matmuls during eval (int8 MXU path,
-# 1.4-1.8x the bf16 matmul at the pointwise shapes on v5e). Requires a
+# Serve 1x1x1 convs as calibrated int8 matmuls during eval (int8 MXU path;
+# throughput measured by bench.py --mode int8, PERF.md round 4). Requires a
 # calibration pass (engine/quantize.py::calibrate_int8) to record per-layer
 # activation ranges; the test/demo engines auto-calibrate on the first
 # INT8_CALIB_BATCHES batches. Serving-only: incompatible with TRAIN.ENABLE.

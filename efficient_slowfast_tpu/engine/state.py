@@ -74,28 +74,83 @@ def create_train_state(cfg, model, rng, example_inputs=None):
 
 
 def make_train_step(cfg, model, tx) -> Callable:
-    """Jitted (state, inputs, labels, lr, rng) → (state, metrics)."""
+    """Jitted (state, inputs, labels, lr, rng) → (state, metrics).
+
+    With ``TPU.GRAD_ACCUM_STEPS`` > 1 the batch is processed as N
+    sequential microbatches inside the step (lax.scan): per-microbatch
+    forward+backward with BN batch statistics threaded through like N real
+    steps, gradients AVERAGED across microbatches, one optimizer update —
+    peak activation memory scales with B/N (the round-4 probe for the
+    batch sizes that compile-OOM even with remat, PERF.md)."""
     loss_fn = get_loss_func(cfg.MODEL.LOSS_FUNC)
     topk = cfg.TRAIN.TOPK
     donate = cfg.TPU.DONATE
+    accum = max(int(cfg.TPU.GRAD_ACCUM_STEPS), 1)
+    classify = not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE
+
+    def _grad_accum(state, inputs, labels, rng):
+        b = labels.shape[0]
+        assert b % accum == 0, (
+            f"batch {b} not divisible by TPU.GRAD_ACCUM_STEPS={accum}")
+        m = b // accum
+        mi = tuple(p.reshape((accum, m) + p.shape[1:]) for p in inputs)
+        ml = labels.reshape(accum, m)
+
+        def body(carry, xs):
+            bstats, gacc, lacc, k1acc, kkacc = carry
+            parts, part_labels, idx = xs
+
+            def compute_loss(params):
+                out, new_ms = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    list(parts),
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, idx)},
+                )
+                return loss_fn(out, part_labels), (out, new_ms)
+
+            (loss, (preds, new_ms)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(state.params)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            if classify:
+                k1, kk = metrics_lib.topks_correct(preds, part_labels,
+                                                   (1, topk))
+                k1acc, kkacc = k1acc + k1, kkacc + kk
+            return (new_ms.get("batch_stats", bstats), gacc, lacc + loss,
+                    k1acc, kkacc), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        init = (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros(()))
+        (bstats, gsum, lsum, k1, kk), _ = jax.lax.scan(
+            body, init, (mi, ml, jnp.arange(accum)))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        return grads, lsum / accum, bstats, (k1, kk)
 
     def step(state: TrainState, inputs, labels, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        def compute_loss(params):
-            out, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            loss = loss_fn(out, labels)
-            return loss, (out, new_model_state)
+        if accum > 1:
+            grads, loss, new_bstats, (k1_, kk_) = _grad_accum(
+                state, inputs, labels, rng)
+            new_model_state = {"batch_stats": new_bstats}
+            preds = None
+        else:
+            def compute_loss(params):
+                out, new_model_state = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                loss = loss_fn(out, labels)
+                return loss, (out, new_model_state)
 
-        (loss, (preds, new_model_state)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+            (loss, (preds, new_model_state)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
 
         opt_state = state.opt_state._replace(
             hyperparams={
@@ -113,9 +168,12 @@ def make_train_step(cfg, model, tx) -> Callable:
             opt_state=opt_state,
         )
         mets = {"loss": loss, "lr": jnp.asarray(lr, jnp.float32)}
-        if not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
-            k1, kk = metrics_lib.topks_correct(preds, labels, (1, topk))
-            n = preds.shape[0]
+        if classify:
+            if accum > 1:
+                k1, kk = k1_, kk_  # summed inside the microbatch scan
+            else:
+                k1, kk = metrics_lib.topks_correct(preds, labels, (1, topk))
+            n = labels.shape[0]
             mets["top1_err"] = (1.0 - k1 / n) * 100.0
             mets[f"top{topk}_err"] = (1.0 - kk / n) * 100.0
         return new_state, mets

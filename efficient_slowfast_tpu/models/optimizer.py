@@ -26,13 +26,47 @@ def bn_mask(params, want_bn: bool):
     )
 
 
+def cast_moment_state(inner: optax.GradientTransformation,
+                      dtype) -> optax.GradientTransformation:
+    """Store a transform's moment buffers in ``dtype`` (TPU.OPTIMIZER_STATE_
+    DTYPE=bfloat16 halves optimizer-state HBM). The update math still runs
+    in the moments' native f32: state is upcast before ``inner.update`` and
+    downcast after, so only STORAGE precision changes — the same recipe as
+    bf16 optimizer-state placement in large-model trainers."""
+    import jax.numpy as jnp
+
+    def cast(tree, to):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(to)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
+    def init(params):
+        return cast(inner.init(params), dtype)
+
+    def update(updates, state, params=None):
+        updates, new_state = inner.update(
+            updates, cast(state, jnp.float32), params)
+        return updates, cast(new_state, dtype)
+
+    return optax.GradientTransformation(init, update)
+
+
 def construct_optimizer(cfg, params) -> tuple[optax.GradientTransformation, optax.OptState]:
     method = cfg.SOLVER.OPTIMIZING_METHOD
     wd = cfg.SOLVER.WEIGHT_DECAY
     bn_wd = cfg.BN.WEIGHT_DECAY
+    import jax.numpy as jnp
+
+    moment_dtype = jnp.dtype(cfg.TPU.OPTIMIZER_STATE_DTYPE)
 
     nonbn = bn_mask(params, want_bn=False)
     isbn = bn_mask(params, want_bn=True)
+
+    def maybe_cast(t):
+        if moment_dtype == jnp.float32:
+            return t
+        return cast_moment_state(t, moment_dtype)
 
     def make(learning_rate):
         parts = []
@@ -43,11 +77,13 @@ def construct_optimizer(cfg, params) -> tuple[optax.GradientTransformation, opta
         if method == "sgd":
             assert cfg.SOLVER.DAMPENING == 0.0, "dampening != 0 unsupported"
             if cfg.SOLVER.MOMENTUM:
-                parts.append(
-                    optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
-                )
+                parts.append(maybe_cast(
+                    optax.trace(decay=cfg.SOLVER.MOMENTUM,
+                                nesterov=cfg.SOLVER.NESTEROV)
+                ))
         elif method == "adam":
-            parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+            parts.append(maybe_cast(
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)))
         else:
             raise NotImplementedError(f"Does not support {method} optimizer")
         parts.append(optax.scale(-1.0))

@@ -186,6 +186,16 @@ def _load_orbax(path: str, state, load_opt: bool) -> Tuple[Any, int]:
             payload["batch_stats"] = flax.serialization.from_state_dict(
                 state.batch_stats,
                 adapt_bn_stats_to(state.batch_stats, payload["batch_stats"]))
+    # Orbax restores committed jax.Arrays pinned to this process's local
+    # device(s); under multi-process SPMD those clash with the global-mesh
+    # arguments of the next jitted program ("incompatible devices", found
+    # by tests/test_multihost.py orbax e2e). Hand back HOST arrays like the
+    # msgpack path does — shard_state / jit placement then replicates them
+    # onto the global mesh exactly as for a fresh init.
+    import numpy as np
+
+    payload = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, payload)
     new = state.replace(params=payload["params"],
                         batch_stats=payload["batch_stats"])
     if load_opt:

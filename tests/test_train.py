@@ -307,3 +307,104 @@ def test_orbax_restore_tolerates_optimizer_change(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_grad_accum_matches_manual_microbatching(rng):
+    """TPU.GRAD_ACCUM_STEPS=2 must equal the hand-rolled reference: two
+    sequential half-batch grad computations with BN batch stats threaded
+    through, gradients AVERAGED, ONE optimizer update (torch-style
+    accumulation semantics; VERDICT r3 next #8 probe)."""
+    import optax
+
+    cfg = small_cfg()
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+
+    cfg2 = small_cfg()
+    cfg2.MODEL.DROPOUT_RATE = 0.0
+    cfg2.TPU.GRAD_ACCUM_STEPS = 2
+    cfg2.TPU.DONATE = False
+    step2 = make_train_step(cfg2, model, tx)
+
+    k = jax.random.PRNGKey(7)
+    inputs = [jax.random.normal(k, x.shape) for x in pathway_inputs(cfg, 4)]
+    labels = jnp.arange(4) % 4
+    new_state, mets = step2(state, inputs, labels, 0.05, k)
+
+    # manual two-microbatch reference with identical rng folding
+    from efficient_slowfast_tpu.models.losses import get_loss_func
+
+    loss_fn = get_loss_func(cfg.MODEL.LOSS_FUNC)
+    folded = jax.random.fold_in(k, state.step)
+
+    def loss_of(params, bstats, mi, ml, idx):
+        def f(p):
+            out, ms = model.apply(
+                {"params": p, "batch_stats": bstats}, mi, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(folded, idx)})
+            return loss_fn(out, ml), ms
+        (loss, ms), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, grads, ms["batch_stats"]
+
+    @jax.jit
+    def manual(params, bstats0, opt_state0):
+        l0, g0, bstats = loss_of(params, bstats0,
+                                 [p[:2] for p in inputs], labels[:2], 0)
+        l1, g1, bstats = loss_of(params, bstats,
+                                 [p[2:] for p in inputs], labels[2:], 1)
+        grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+        opt_state0 = opt_state0._replace(hyperparams={
+            **opt_state0.hyperparams,
+            "learning_rate": jnp.asarray(0.05, jnp.float32)})
+        updates, _ = tx.update(grads, opt_state0, params)
+        return optax.apply_updates(params, updates), bstats, (l0 + l1) / 2.0
+
+    ref_params, ref_bstats, ref_loss = manual(
+        state.params, state.batch_stats, state.opt_state)
+
+    # jitted-scan vs jitted-unrolled reference: conv algorithm/fusion
+    # choices leave sub-1e-3-relative f32 noise through the BN stack; the
+    # semantic failure modes this guards against (unthreaded BN stats,
+    # summed instead of averaged grads, a second optimizer step) diverge
+    # at >1e-1 relative
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(ref_bstats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+    np.testing.assert_allclose(float(mets["loss"]), float(ref_loss),
+                               rtol=1e-4)
+    assert int(new_state.step) == 1
+
+
+def test_optimizer_state_bf16_placement(rng):
+    """TPU.OPTIMIZER_STATE_DTYPE=bfloat16 stores the SGD momentum (and adam
+    moments) in bf16 — half the optimizer-state HBM — while updates still
+    compute in f32 (models/optimizer.py::cast_moment_state)."""
+    cfg = small_cfg()
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.TPU.OPTIMIZER_STATE_DTYPE = "bfloat16"
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+
+    moment_dtypes = {
+        l.dtype for l in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        and l.ndim > 0
+    }
+    assert moment_dtypes == {jnp.dtype(jnp.bfloat16)}, moment_dtypes
+
+    step = make_train_step(cfg, model, tx)
+    inputs = [jax.random.normal(rng, x.shape) for x in pathway_inputs(cfg, 4)]
+    labels = jnp.arange(4) % 4
+    losses = []
+    for _ in range(5):
+        state, mets = step(state, inputs, labels, 0.02, rng)
+        losses.append(float(mets["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[1:]) < losses[0], losses
