@@ -36,20 +36,29 @@ def visualize(cfg):
     mean = np.asarray(cfg.DATA.MEAN)
     std = np.asarray(cfg.DATA.STD)
 
-    global_idx = -1
-    for batch in loader:
+    from ..parallel.mesh import fetch_local_rows
+    from .test import gather_across_hosts
+
+    # Iterate the WHOLE test loader and gather every host's shard before
+    # writing, like the reference (tools/visualization.py:19-66 gathers
+    # inputs across GPUs and walks the loader) — a multi-host run inspects
+    # the full input stream, not process 0's shard of one batch.
+    for step, batch in enumerate(loader):
         frames = shard_batch(mesh, batch["frames"])
         widths = shard_batch(mesh, batch["width"])
         sidx = shard_batch(mesh, batch["spatial_idx"])
         portrait = (shard_batch(mesh, batch["portrait"])
                     if "portrait" in batch else None)
         inputs = preprocess(frames, widths, sidx, portrait)
-        for p, path in enumerate(jax.device_get(inputs)):
-            video = np.asarray(path) * std + mean  # revert normalization
+        local = [fetch_local_rows(p) for p in inputs]
+        if "_valid" in batch:  # drop loader pad rows before the gather
+            keep = np.asarray(batch["_valid"]) > 0
+            local = [p[keep] for p in local]
+        gathered = gather_across_hosts(*local)  # collective: every host
+        for p, clips in enumerate(gathered):
+            video = np.asarray(clips, np.float32) * std + mean
             video = np.clip(video, 0.0, 1.0)
-            global_idx += 1
             writer.add_video(video, tag=f"Video Input Pathway {p}",
-                             global_step=global_idx)
-        break  # one batch is enough for input inspection
+                             global_step=step)
     writer.close()
     logger.info("Visualization written.")

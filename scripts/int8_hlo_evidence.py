@@ -125,20 +125,21 @@ def analyze(hlo: str) -> dict:
             s8_out_bytes += b
         else:
             other_out_bytes += b
-    # convolutions consuming s8 operands anywhere (incl. inside fusions);
-    # \S* after ] eats the HLO layout suffix ({1,0} etc.)
+    # int8×int8 convolutions accumulate in s32 — an s32-OUTPUT conv/dot is
+    # the unambiguous signature of the int8 MXU lowering (operand types
+    # are not printed on the op line, only operand names). \S* after ]
+    # eats the HLO layout suffix ({1,0:T(8,128)} etc.)
     conv_lines = re.findall(
-        r"= \S+\[[^\]]*\]\S* (?:convolution|dot)\([^\n]*", hlo)
-    convs_with_s8_operand = sum(
-        1 for ln in conv_lines if re.search(r"s8\[", ln))
+        r"= (\S+)\[[^\]]*\]\S* (?:convolution|dot)\(", hlo)
+    convs_s32 = sum(1 for dt in conv_lines if dt == "s32")
     return {
         "convs_or_dots_total": len(conv_lines),
-        "convs_or_dots_with_s8_operand": convs_with_s8_operand,
+        "convs_or_dots_s32_output_int8_mxu": convs_s32,
         "fusion_outputs_s8": fusion_roots_s8,
         "fusion_output_bytes_s8": s8_out_bytes,
         "fusion_output_bytes_other": other_out_bytes,
         "verdict_activations_cross_hbm_as_int8": fusion_roots_s8 > 0,
-        "_note": "convs_with_s8_operand>0 proves the int8 MXU lowering; "
+        "_note": "convs_s32_output>0 proves the int8 MXU lowering; "
                  "fusion_outputs_s8>0 proves quantized activations are "
                  "materialized (written/read) across fusion boundaries",
     }
