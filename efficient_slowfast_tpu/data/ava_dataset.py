@@ -128,6 +128,15 @@ class Ava:
         px[:, [0, 2]] *= width
         px[:, [1, 3]] *= short
 
+        if self._split != "train" and cfg.AVA.TEST_FORCE_FLIP:
+            # force-flip eval imgs+boxes, for checkpoints trained on
+            # flipped data (reference: ava_dataset.py:154-171 test branch,
+            # cv2_transform.horizontal_flip_list with boxes)
+            canvas[:, :, :width] = canvas[:, :, :width][:, :, ::-1]
+            x1 = width - 1.0 - px[:, 2]
+            x2 = width - 1.0 - px[:, 0]
+            px[:, 0], px[:, 2] = x1, x2
+
         # train-time flip / scale-jitter / crop happen on DEVICE with joint
         # box co-transform (data/preprocess.py make_detection_train_preprocess)
         labels = np.zeros((MAX_BOXES, self._num_classes), np.float32)

@@ -309,3 +309,33 @@ def test_detection_train_step_honors_loss_func(ava_fixture):
     cfg.MODEL.LOSS_FUNC = "cross_entropy"
     with pytest.raises(NotImplementedError, match="cross_entropy"):
         make_detection_train_step(cfg, model, tx)
+
+
+def test_ava_test_force_flip(ava_fixture):
+    """AVA.TEST_FORCE_FLIP mirrors eval frames AND boxes (reference:
+    ava_dataset.py:154-171 test branch via cv2_transform
+    horizontal_flip_list) — for checkpoints trained on flipped data."""
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    cfg = ava_cfg(ava_fixture)
+    ds_plain = build_dataset("ava", cfg, "test")
+    cfg_f = ava_cfg(ava_fixture)
+    cfg_f.AVA.TEST_FORCE_FLIP = True
+    ds_flip = build_dataset("ava", cfg_f, "test")
+
+    a, b = ds_plain[0], ds_flip[0]
+    w = int(a["width"])
+    assert w == int(b["width"])
+    np.testing.assert_array_equal(
+        b["frames"][:, :, :w], a["frames"][:, :, :w][:, :, ::-1])
+    n = int(a["box_mask"].sum())
+    assert n == int(b["box_mask"].sum()) and n > 0
+    for i in range(n):
+        x1, y1, x2, y2 = a["boxes"][i]
+        fx1, fy1, fx2, fy2 = b["boxes"][i]
+        np.testing.assert_allclose([fx1, fx2], [w - 1 - x2, w - 1 - x1],
+                                   atol=1e-4)
+        np.testing.assert_allclose([fy1, fy2], [y1, y2], atol=1e-6)
+        assert fx1 <= fx2
+    # normalized ori_boxes stay UNFLIPPED (they key the mAP ground truth)
+    np.testing.assert_allclose(a["ori_boxes"], b["ori_boxes"])
