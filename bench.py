@@ -94,6 +94,10 @@ def _is_transient_oom(e: Exception) -> bool:
     everything else is a real error and must surface immediately."""
     return ("RESOURCE_EXHAUSTED" in str(e)
             or "Out of memory" in str(e)
+            # compile-time permanent HBM OOM (surfaces via the remote
+            # compile helper as "Ran out of memory in memory space hbm");
+            # a smaller batch is the right response, same as runtime OOM
+            or "Ran out of memory" in str(e)
             or "ResourceExhausted" in type(e).__name__)
 
 

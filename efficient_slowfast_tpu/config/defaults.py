@@ -161,7 +161,7 @@ _C.SOLVER = CfgNode()
 _C.SOLVER.BASE_LR = 0.1
 _C.SOLVER.LR_POLICY = "cosine"
 _C.SOLVER.GAMMA = 0.1
-_C.SOLVER.STEP_SIZE = 1
+_C.SOLVER.STEP_SIZE = 1  # declared-but-unused upstream too (no reader in reference)
 _C.SOLVER.STEPS = []
 _C.SOLVER.LRS = []
 _C.SOLVER.MAX_EPOCH = 300
@@ -169,7 +169,7 @@ _C.SOLVER.MOMENTUM = 0.9
 _C.SOLVER.DAMPENING = 0.0
 _C.SOLVER.NESTEROV = True
 _C.SOLVER.WEIGHT_DECAY = 1e-4
-_C.SOLVER.WARMUP_FACTOR = 0.1
+_C.SOLVER.WARMUP_FACTOR = 0.1  # declared-but-unused upstream too; warmup uses WARMUP_START_LR
 _C.SOLVER.WARMUP_EPOCHS = 0.0
 _C.SOLVER.WARMUP_START_LR = 0.01
 _C.SOLVER.OPTIMIZING_METHOD = "sgd"
@@ -295,6 +295,8 @@ _C.DEMO.DISPLAY_HEIGHT = 0
 # displays whenever no output file is set (demo_net.py:71-75); here it is
 # an explicit opt-in so headless runs never pop windows.
 _C.DEMO.DISPLAY = False
+# live person-detector integration is out of scope (precomputed boxes
+# by design, SURVEY 2.8); keys kept so reference demo YAMLs parse.
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_CFG = ""
 _C.DEMO.DETECTRON2_OBJECT_DETECTION_MODEL_WEIGHTS = ""
 _C.DEMO.OUTPUT_FILE = ""

@@ -46,7 +46,7 @@ class Ava:
             cfg, is_train=(self._split == "train")
         )
         boxes_and_labels = ava_helper.load_boxes_and_labels(
-            cfg, mode=self._split if self._split == "train" else "val"
+            cfg, mode=self._split
         )
         boxes_and_labels = {
             name: boxes_and_labels.get(name, {})

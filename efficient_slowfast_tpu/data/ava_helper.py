@@ -88,6 +88,12 @@ def load_boxes_and_labels(cfg, mode: str):
                 video_name, frame_sec = row[0], int(row[1])
                 if frame_sec not in AVA_VALID_FRAMES:
                     continue
+                # Validation-during-training evaluates every 4th keyframe
+                # second unless AVA.FULL_TEST_ON_VAL; the test split is
+                # never subsampled (reference ava_helper.py:110-118).
+                if (mode == "val" and not cfg.AVA.FULL_TEST_ON_VAL
+                        and frame_sec % 4 != 0):
+                    continue
                 box_key = ",".join(row[2:6])
                 box = list(map(float, row[2:6]))
                 label = -1 if row[6] == "" else int(row[6])

@@ -67,9 +67,14 @@ def measure(name, batch, accum=1, remat=True, stages=(2,), opt_dtype="float32"):
                "opt_dtype": opt_dtype, "clips_per_sec_chip": round(value, 2)}
     except Exception as e:  # noqa: BLE001 — record OOMs as results
         kind = "oom" if _is_transient_oom(e) else "error"
+        msg = f"{type(e).__name__}: {e}"
+        # keep the load-bearing line of a compile-time HBM OOM (it is
+        # buried thousands of chars into the remote helper's 500 body)
+        detail = next((ln.strip() for ln in str(e).splitlines()
+                       if "Ran out of memory" in ln or "Exceeded" in ln), "")
         out = {"config": name, "batch": batch, "accum": accum,
                "remat": remat, "stages": list(stages),
-               "opt_dtype": opt_dtype, kind: f"{type(e).__name__}: {e}"[:200]}
+               "opt_dtype": opt_dtype, kind: (detail or msg)[:300]}
     print(json.dumps(out), flush=True)
     import gc
 

@@ -339,3 +339,35 @@ def test_ava_test_force_flip(ava_fixture):
         assert fx1 <= fx2
     # normalized ori_boxes stay UNFLIPPED (they key the mAP ground truth)
     np.testing.assert_allclose(a["ori_boxes"], b["ori_boxes"])
+
+
+def test_val_keyframe_subsampling_full_test_on_val(tmp_path):
+    """Val-during-training keeps only frame_sec % 4 == 0 keyframes unless
+    AVA.FULL_TEST_ON_VAL; the test split is never subsampled (reference:
+    ava_helper.py:110-118)."""
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data import ava_helper
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    rows = [
+        "vidA,902,0.1,0.1,0.6,0.9,5,1",   # 902 % 4 == 2 → dropped on val
+        "vidA,904,0.2,0.2,0.7,0.8,12,1",  # 904 % 4 == 0 → always kept
+    ]
+    (ann / "boxes.csv").write_text("\n".join(rows) + "\n")
+
+    cfg = get_cfg()
+    cfg.AVA.ANNOTATION_DIR = str(ann)
+    cfg.AVA.TRAIN_GT_BOX_LISTS = ["boxes.csv"]
+    cfg.AVA.TRAIN_PREDICT_BOX_LISTS = []
+    cfg.AVA.TEST_PREDICT_BOX_LISTS = ["boxes.csv"]
+
+    def secs(mode):
+        out = ava_helper.load_boxes_and_labels(cfg, mode=mode)
+        return sorted(out.get("vidA", {}).keys())
+
+    assert secs("train") == [902, 904]
+    assert secs("test") == [902, 904]
+    assert secs("val") == [904]
+    cfg.AVA.FULL_TEST_ON_VAL = True
+    assert secs("val") == [902, 904]
