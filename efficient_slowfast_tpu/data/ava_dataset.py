@@ -103,7 +103,14 @@ class Ava:
             path = self._image_paths[video_idx][idx]
             with Image.open(path) as im:
                 frames.append(np.asarray(im.convert("RGB"), np.uint8))
-        return np.stack(frames)
+        out = np.stack(frames)
+        if self.cfg.AVA.BGR:
+            # feed channels in BGR order, for checkpoints trained on BGR
+            # inputs (reference: ava_dataset.py:33 _use_bgr — cv2 decodes
+            # BGR and skips the to-RGB flip when set; our decode is
+            # RGB-native, so BGR means reversing the channel axis)
+            out = out[..., ::-1]
+        return out
 
     def __getitem__(self, index: int):
         cfg = self.cfg

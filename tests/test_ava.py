@@ -93,8 +93,11 @@ def make_ava_fixture(base):
         vdir = frame_dir / name
         vdir.mkdir()
         for i in range(n_frames):
+            # distinct per-channel values so channel-order bugs are visible
+            base_val = (v * 50 + i) % 200
             img = Image.fromarray(
-                np.full((64, 96, 3), (v * 50 + i) % 255, np.uint8))
+                np.stack([np.full((64, 96), base_val + 7 * c, np.uint8)
+                          for c in range(3)], axis=-1))
             rel = f"{name}/{name}_{i + 1:06d}.jpg"
             img.save(frame_dir / rel)
             lists.append(f"{name} {v} {i} {rel} \"\"")
@@ -371,3 +374,17 @@ def test_val_keyframe_subsampling_full_test_on_val(tmp_path):
     assert secs("val") == [904]
     cfg.AVA.FULL_TEST_ON_VAL = True
     assert secs("val") == [902, 904]
+
+
+def test_ava_bgr_reverses_channels(ava_fixture):
+    """AVA.BGR feeds the model BGR-ordered channels (reference:
+    ava_dataset.py:33,223 — cv2 decodes BGR and the to-RGB flip is
+    skipped when set)."""
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    rgb = build_dataset("ava", ava_cfg(ava_fixture), "test")[0]
+    cfg_b = ava_cfg(ava_fixture)
+    cfg_b.AVA.BGR = True
+    bgr = build_dataset("ava", cfg_b, "test")[0]
+    np.testing.assert_array_equal(bgr["frames"], rgb["frames"][..., ::-1])
+    np.testing.assert_array_equal(bgr["boxes"], rgb["boxes"])
