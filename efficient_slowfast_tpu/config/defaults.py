@@ -313,6 +313,11 @@ _C.TPU = CfgNode()
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Mesh axis sizes; data axis defaults to all local devices when 0.
 _C.TPU.DATA_AXIS = 0
+# Spatial (height) model parallelism: shard frame H over a second "space"
+# mesh axis of this size (0/1 = off). GSPMD inserts conv halo exchanges;
+# same computation, split activations — for configs whose T*H*W
+# activations don't fit one chip even at batch 1 (parallel/mesh.py).
+_C.TPU.SPATIAL_SHARD = 0
 # Use donated buffers in the train step.
 _C.TPU.DONATE = True
 # Steps between host metric syncs (device-accumulated metrics).
@@ -420,5 +425,6 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         f"TPU.REMAT_STAGES {cfg.TPU.REMAT_STAGES} out of range: stages are "
         "2..5 (s2-s5)"
     )
+    assert cfg.TPU.SPATIAL_SHARD >= 0, "TPU.SPATIAL_SHARD must be >= 0"
     assert cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH + cfg.MODEL.MULTI_PATHWAY_ARCH
     return cfg

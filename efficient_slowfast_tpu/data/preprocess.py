@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from . import transform as T
+from ..parallel.mesh import constrain_spatial
 from .pathways import pack_pathway_output
 
 
@@ -56,7 +57,7 @@ def make_train_preprocess(cfg, crop_size=None):
             x = T.transpose_portrait(x, portrait)
         if flip:
             x = T.horizontal_flip(k_flip, x)
-        return pack_pathway_output(cfg, x)
+        return constrain_spatial(cfg, pack_pathway_output(cfg, x))
 
     return pre
 
@@ -71,7 +72,7 @@ def make_detection_preprocess(cfg):
     @jax.jit
     def pre(frames):
         x = T.tensor_normalize(frames, mean, std)
-        return pack_pathway_output(cfg, x)
+        return constrain_spatial(cfg, pack_pathway_output(cfg, x))
 
     return pre
 
@@ -112,7 +113,8 @@ def make_detection_train_preprocess(cfg):
                 x = T.color_jitter(k_jit, x, 0.4, 0.4, 0.4)
             x = T.lighting_jitter(k_pca, x, 0.1, eigval, eigvec)
         x = T.color_normalization(x, mean, std)
-        return pack_pathway_output(cfg, x), boxes
+        return (constrain_spatial(cfg, pack_pathway_output(cfg, x)),
+                boxes)
 
     return pre
 
@@ -133,6 +135,6 @@ def make_test_preprocess(cfg):
             # their original vertical axis (top/center/bottom views) — swap
             # the square crop back (reference: transform.py:425-468)
             x = T.transpose_portrait(x, portrait)
-        return pack_pathway_output(cfg, x)
+        return constrain_spatial(cfg, pack_pathway_output(cfg, x))
 
     return pre

@@ -12,6 +12,15 @@ models/build.py:39-43) with a single-process SPMD program:
 
 Multi-host (NUM_SHARDS > 1) uses `jax.distributed.initialize`, after which
 `jax.devices()` spans all hosts and the same mesh/program runs everywhere.
+
+`TPU.SPATIAL_SHARD = s` (s > 1) adds a second "space" mesh axis and shards
+the frame HEIGHT dimension over it — GSPMD inserts the halo exchanges the
+spatial convolutions need and reduces BN statistics globally, so the
+program is bit-for-bit the same computation at a different layout. This is
+the TPU-native escape hatch for activation-bound configs (AVA R101 64x2
+style: huge T*H*W activations at tiny per-chip batch) that data
+parallelism alone cannot fit; no reference counterpart (the reference is
+DDP-only).
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def init_distributed(cfg) -> None:
@@ -179,26 +189,47 @@ def cfg_init_addr(cfg) -> str:
     return addr.split("://")[-1]
 
 
+def _spatial_shard(cfg) -> int:
+    s = int(cfg.TPU.SPATIAL_SHARD) if cfg is not None else 0
+    return s if s > 1 else 1
+
+
 def build_mesh(cfg=None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
+    s = _spatial_shard(cfg)
+    n = len(devices) // s
     if cfg is not None and cfg.TPU.DATA_AXIS:
         n = min(n, cfg.TPU.DATA_AXIS)
-        devices = devices[:n]
-    return Mesh(np.array(devices).reshape(n), (DATA_AXIS,))
+    assert n >= 1, (
+        f"TPU.SPATIAL_SHARD={s} needs at least {s} devices, "
+        f"have {len(devices)}")
+    if s > 1:
+        # each (data-row × space) group must be host-local so a process's
+        # rows carry the FULL height extent (shard_batch feeds full-H local
+        # data; cross-host space shards would need H-sliced local data)
+        ld = jax.local_device_count()
+        assert ld % s == 0, (
+            f"TPU.SPATIAL_SHARD={s} must divide the per-host device count "
+            f"({ld}) so the space axis stays within a host")
+        devices = devices[: n * s]
+        return Mesh(np.array(devices).reshape(n, s), (DATA_AXIS, SPACE_AXIS))
+    return Mesh(np.array(devices[:n]).reshape(n), (DATA_AXIS,))
 
 
 def mesh_device_count(cfg=None) -> int:
-    """Size of the data axis the mesh built by ``build_mesh`` will have.
+    """Size of the DATA axis the mesh built by ``build_mesh`` will have.
 
     Every batch placed via ``shard_batch`` must have its leading axis
     divisible by this (NamedSharding over "data" requires it) — the loader
     pads eval batches to a multiple and validates train batches against it.
+    With TPU.SPATIAL_SHARD=s the device pool is split (n//s) × s, so the
+    batch divisor SHRINKS by s (that is the point: fewer, larger per-data-
+    shard batches whose activations are split over the space axis).
     """
-    n = jax.device_count()
+    n = jax.device_count() // _spatial_shard(cfg)
     if cfg is not None and cfg.TPU.DATA_AXIS:
         n = min(n, cfg.TPU.DATA_AXIS)
-    return n
+    return max(n, 1)
 
 
 def per_host_batch_divisor(cfg=None) -> int:
@@ -211,6 +242,43 @@ def per_host_batch_divisor(cfg=None) -> int:
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding for input pytrees (leading axis over "data")."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def frames_sharding(mesh: Mesh, ndim: int, h: int | None = None
+                    ) -> NamedSharding:
+    """Sharding for a frames tensor (B, T, H, W, C) / (B, T, H, W):
+    batch over "data"; on a spatial mesh, HEIGHT over "space" (axis 2 —
+    channels-last everywhere, CLAUDE.md). GSPMD propagates the split
+    through the conv stack with halo exchanges.
+
+    Pass ``h`` (the axis-2 extent) to fall back to batch-only sharding
+    when H does not divide the space axis — raw host canvases have
+    arbitrary short-side heights (data/datasets.py), so only the
+    preprocessed CROP_SIZE tensors are height-sharded; ``constrain_spatial``
+    re-pins the layout at the preprocess output."""
+    if SPACE_AXIS in mesh.axis_names and ndim >= 4 and (
+            h is None or h % mesh.shape[SPACE_AXIS] == 0):
+        spec = [DATA_AXIS, None, SPACE_AXIS] + [None] * (ndim - 3)
+        return NamedSharding(mesh, P(*spec))
+    return data_sharding(mesh)
+
+
+def constrain_spatial(cfg, pathways):
+    """Inside-jit constraint pinning pathway tensors' HEIGHT to the "space"
+    mesh axis when TPU.SPATIAL_SHARD is on (no-op otherwise).
+
+    The device preprocess consumes raw canvases whose H is arbitrary (so
+    they ride batch-only, see ``frames_sharding``); its OUTPUT is the fixed
+    CROP_SIZE grid, which is where the split-activation layout must start
+    for the model to run height-sharded (data/preprocess.py)."""
+    if _spatial_shard(cfg) == 1:
+        return pathways
+    mesh = build_mesh(cfg)
+    return [
+        jax.lax.with_sharding_constraint(
+            x, frames_sharding(mesh, x.ndim, h=x.shape[2]))
+        for x in pathways
+    ]
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -228,11 +296,19 @@ def shard_batch(mesh: Mesh, batch):
     fail the mesh-divisibility check (found by the real 2-process CPU
     test, tests/test_multihost.py).
     """
-    sh = data_sharding(mesh)
+    def sh(x):
+        x = x if hasattr(x, "ndim") else np.asarray(x)
+        # rank>=4 leaves are frame tensors — spatial mesh shards their H
+        # (when H divides; raw canvases don't and ride batch-only);
+        # everything else (labels, boxes, masks, metadata) is batch-only
+        if x.ndim >= 4:
+            return frames_sharding(mesh, x.ndim, h=x.shape[2])
+        return data_sharding(mesh)
+
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)),
+                sh(x), np.asarray(x)),
             batch,
         )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh(x)), batch)

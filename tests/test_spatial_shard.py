@@ -1,0 +1,189 @@
+"""TPU.SPATIAL_SHARD: height-axis model parallelism over a 2-D mesh.
+
+TPU-native addition (no reference counterpart — the reference is
+DDP-only): frames' H dim is sharded over a "space" mesh axis and GSPMD
+inserts the conv halo exchanges, so the program computes EXACTLY the
+same thing at a split-activation layout (parallel/mesh.py). These tests
+prove layout-invariance on the 8-virtual-device CPU platform:
+data-parallel-only results must match the 2x4 (data x space) results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_slowfast_tpu.config import get_cfg
+from efficient_slowfast_tpu.engine.state import (
+    create_train_state, make_forward, make_train_step, pathway_inputs,
+    shard_state,
+)
+from efficient_slowfast_tpu.models import build_model
+from efficient_slowfast_tpu.parallel.mesh import (
+    DATA_AXIS, SPACE_AXIS, build_mesh, mesh_device_count, shard_batch,
+)
+
+
+def tiny_slowfast_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1]] * 4
+    cfg.NONLOCAL.LOCATION = [[[], []]] * 4
+    cfg.NONLOCAL.GROUP = [[1, 1]] * 4
+    cfg.NONLOCAL.POOL = [[[1, 2, 2], [1, 2, 2]]] * 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.CROP_SIZE = 32
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_mesh_shapes_and_batch_divisor():
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.SPATIAL_SHARD = 4
+    mesh = build_mesh(cfg)
+    assert mesh.axis_names == (DATA_AXIS, SPACE_AXIS)
+    assert mesh.shape[DATA_AXIS] == 2 and mesh.shape[SPACE_AXIS] == 4
+    assert mesh_device_count(cfg) == 2  # batch divisor shrinks by s
+
+    frames = jnp.zeros((2, 8, 32, 32, 3))
+    labels = jnp.zeros((2,), jnp.int32)
+    sharded = shard_batch(mesh, {"frames": frames, "labels": labels})
+    fspec = sharded["frames"].sharding.spec
+    assert tuple(fspec)[:3] == (DATA_AXIS, None, SPACE_AXIS)
+    assert tuple(sharded["labels"].sharding.spec) == (DATA_AXIS,)
+
+
+def test_raw_canvas_with_odd_height_rides_batch_only():
+    """Raw host canvases have arbitrary short-side heights (e.g. 45) that
+    don't divide the space axis — shard_batch must fall back to batch-only
+    for them (the height split starts at the preprocess output via
+    constrain_spatial). Found by driving tools/run_net.py with
+    TPU.SPATIAL_SHARD 2 on real loader batches."""
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.SPATIAL_SHARD = 4
+    mesh = build_mesh(cfg)
+    raw = jnp.zeros((2, 8, 45, 90, 3), jnp.uint8)  # 45 % 4 != 0
+    sharded = shard_batch(mesh, {"frames": raw})
+    assert tuple(sharded["frames"].sharding.spec) == (DATA_AXIS,)
+
+
+def test_preprocess_output_is_height_sharded():
+    """The jitted train preprocess re-pins the layout: raw batch-only
+    canvases in, height-sharded CROP_SIZE pathway tensors out."""
+    from efficient_slowfast_tpu.data.preprocess import make_train_preprocess
+
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.SPATIAL_SHARD = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    mesh = build_mesh(cfg)
+    pre = make_train_preprocess(cfg)
+    raw = shard_batch(mesh, {
+        "frames": jnp.zeros((2, 8, 45, 90, 3), jnp.uint8),
+        "width": jnp.full((2,), 80, jnp.int32),
+    })
+    outs = pre(jax.random.PRNGKey(0), raw["frames"], raw["width"])
+    for x in outs:
+        spec = tuple(x.sharding.spec)
+        assert spec[:3] == (DATA_AXIS, None, SPACE_AXIS), spec
+
+
+def test_spatial_shard_rejects_bad_split():
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.SPATIAL_SHARD = 3  # does not divide the 8-device host
+    with pytest.raises(AssertionError):
+        build_mesh(cfg)
+
+
+def _forward(cfg, rng, batch=8):
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, rng)
+    mesh = build_mesh(cfg)
+    state = shard_state(state, mesh)
+    fwd = make_forward(cfg, model)
+    inputs = [
+        jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
+        for i, x in enumerate(pathway_inputs(cfg, batch))
+    ]
+    inputs = shard_batch(mesh, inputs)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return np.asarray(fwd(variables, inputs))
+
+
+def test_eval_forward_is_layout_invariant(rng):
+    dp = _forward(tiny_slowfast_cfg(), rng)
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.SPATIAL_SHARD = 4
+    sp = _forward(cfg, rng)
+    np.testing.assert_allclose(sp, dp, rtol=2e-5, atol=2e-5)
+
+
+def _one_train_step(cfg, rng, batch=8):
+    model = build_model(cfg)
+    state, tx = create_train_state(cfg, model, rng)
+    mesh = build_mesh(cfg)
+    state = shard_state(state, mesh)
+    step = make_train_step(cfg, model, tx)
+    inputs = [
+        jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
+        for i, x in enumerate(pathway_inputs(cfg, batch))
+    ]
+    labels = jnp.arange(batch) % cfg.MODEL.NUM_CLASSES
+    inputs = shard_batch(mesh, inputs)
+    labels = shard_batch(mesh, labels)
+    state, mets = step(state, inputs, labels, 0.01, rng)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    return float(mets["loss"]), np.asarray(leaf), np.asarray(
+        jax.tree_util.tree_leaves(state.batch_stats)[0])
+
+
+def test_train_step_is_layout_invariant(rng):
+    cfg = tiny_slowfast_cfg()
+    cfg.TPU.DONATE = False
+    dp_loss, dp_leaf, dp_stat = _one_train_step(cfg, rng)
+    cfg_sp = tiny_slowfast_cfg()
+    cfg_sp.TPU.DONATE = False
+    cfg_sp.TPU.SPATIAL_SHARD = 4
+    sp_loss, sp_leaf, sp_stat = _one_train_step(cfg_sp, rng)
+    # same computation, different layout: fwd+bwd+BN stats+opt update agree
+    assert abs(sp_loss - dp_loss) < 1e-4, (sp_loss, dp_loss)
+    np.testing.assert_allclose(sp_leaf, dp_leaf, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sp_stat, dp_stat, rtol=1e-4, atol=1e-5)
+
+
+def test_detection_forward_spatial_shard(rng):
+    from efficient_slowfast_tpu.engine.state import make_detection_forward
+
+    def run(spatial):
+        cfg = tiny_slowfast_cfg()
+        cfg.DETECTION.ENABLE = True
+        cfg.MODEL.NUM_CLASSES = 8
+        cfg.MODEL.HEAD_ACT = "sigmoid"
+        if spatial:
+            cfg.TPU.SPATIAL_SHARD = 4
+        model = build_model(cfg)
+        state, _ = create_train_state(cfg, model, rng)
+        mesh = build_mesh(cfg)
+        state = shard_state(state, mesh)
+        fwd = make_detection_forward(cfg, model)
+        batch, max_boxes, s = 8, 3, cfg.DATA.CROP_SIZE
+        inputs = [
+            jax.random.normal(jax.random.fold_in(rng, i), x.shape,
+                              jnp.float32)
+            for i, x in enumerate(pathway_inputs(cfg, batch))
+        ]
+        boxes = np.tile(np.asarray([1.0, 2.0, s - 3.0, s - 1.0], np.float32),
+                        (batch, max_boxes, 1))
+        inputs = shard_batch(mesh, inputs)
+        boxes = shard_batch(mesh, jnp.asarray(boxes))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return np.asarray(fwd(variables, inputs, boxes))
+
+    np.testing.assert_allclose(run(True), run(False), rtol=2e-5, atol=2e-5)
