@@ -301,7 +301,10 @@ def bench_i3d_nln(emit):
 
     value = batch * iters / dt / jax.device_count()
     emit({
-        "metric": "I3D-NLN R50 8x8 256^2 eval fwd throughput",
+        # label the ACTUAL shapes — the CPU smoke path shrinks them, and a
+        # "256^2" line measured at 64^2 would be false provenance (round-4
+        # review finding #6)
+        "metric": f"I3D-NLN R50 {t}f {s}^2 eval fwd throughput",
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "batch": batch,
@@ -898,6 +901,7 @@ def main():
         env_budget = float(os.environ.get("BENCH_RETRY_SECS", "2700"))
         budget = env_budget if budget is None else min(budget, env_budget)
         deadline = time.monotonic() + budget
+        last_oom = None
         while True:
             # Wait for a quiet window first (CPU runs skip the probe
             # entirely). If the budget runs out while the chip still
@@ -922,6 +926,17 @@ def main():
             except Exception as e:
                 if not _is_transient_oom(e) or time.monotonic() > deadline:
                     raise
+                # A deterministic footprint OOM (e.g. compile-time "Ran out
+                # of memory in memory space hbm") reproduces byte-identically
+                # on a chip the probe just declared quiet; contention OOM
+                # under a quiet probe twice in a row with the SAME message is
+                # vanishingly unlikely. Raise instead of burning the whole
+                # retry budget re-running a permanent failure (round-4
+                # review finding #4) — message-taxonomy splits are fragile
+                # through the tunnel helper, repetition is not.
+                if str(e) == last_oom:
+                    raise
+                last_oom = str(e)
                 print(f"bench: chip busy ({type(e).__name__}), retrying "
                       f"until budget expires", file=sys.stderr, flush=True)
                 jax.clear_caches()

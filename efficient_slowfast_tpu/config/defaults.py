@@ -336,6 +336,10 @@ _C.TPU.REMAT_STAGES = []
 # B/N — the same semantics as torch-style accumulation over N loader
 # steps). Trades step latency for activation memory: peak activations
 # scale with B/N while the optimizer math sees the full batch B.
+# Applies to the classification AND the detection (AVA) train step; the
+# detection step accumulates the UNNORMALIZED masked loss sums and divides
+# by the total box-mask count so uneven masks across microbatches still
+# reproduce the full-batch gradient exactly (engine/state.py).
 _C.TPU.GRAD_ACCUM_STEPS = 1
 # Dtype for optimizer moment buffers (SGD momentum / Adam moments).
 # "bfloat16" halves optimizer-state HBM at a small statistics-precision

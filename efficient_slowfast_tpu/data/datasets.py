@@ -251,22 +251,35 @@ class ClipDataset:
                 rs = np.random.RandomState(self.cfg.RNG_SEED)
                 buf = rs.randint(0, 255, (num_frames + 64, s, w, 3), np.uint8)
                 self._synth_buf = buf
+                self._synth_blended = {}
             # video id from the path, NOT hash(path): PYTHONHASHSEED
             # randomization would give each process (loader workers,
             # multi-host peers) different clip content for the same id
             vid = int(path[len("synthetic://"):])
             off = (vid * 7 + max(temporal_idx, 0)) % 64
-            clip = buf[off:off + num_frames]
             # Blend a label-keyed constant color (50/50, uint8-safe) into
             # the noise. A global color shift survives any crop/flip/resize
             # and the mean/std normalization, so the synthetic task is
             # genuinely learnable by memorization — brief training yields
             # confident, class-peaked logits and trained BN statistics,
             # which the int8 calibration accuracy proxy needs (VERDICT r3).
+            # The blend is cached PER LABEL so each fetch serves a zero-copy
+            # read-only view — a per-fetch `(clip>>1)+(color>>1)` allocates
+            # ~10 MB/clip and makes the loader benchmark measure numpy
+            # blending instead of the loader (round-4 review finding #3).
             label = vid % self.cfg.MODEL.NUM_CLASSES
-            color = np.random.RandomState(label + 1).randint(
-                0, 256, 3).astype(np.uint8)
-            return (clip >> 1) + (color >> 1)
+            blended = self._synth_blended.get(label)
+            if blended is None:
+                if len(self._synth_blended) >= 32:  # bound host RAM
+                    color = np.random.RandomState(label + 1).randint(
+                        0, 256, 3).astype(np.uint8)
+                    return (buf[off:off + num_frames] >> 1) + (color >> 1)
+                color = np.random.RandomState(label + 1).randint(
+                    0, 256, 3).astype(np.uint8)
+                blended = (buf >> 1) + (color >> 1)
+                blended.setflags(write=False)  # consumers must copy, not edit
+                self._synth_blended[label] = blended
+            return blended[off:off + num_frames]
         from .decoder import decode_clip  # native backend
 
         return decode_clip(

@@ -331,31 +331,86 @@ def make_detection_train_step(cfg, model, tx) -> Callable:
     post-sigmoid scores). Same placement here; padded boxes are masked out
     of the mean, so the loss must be elementwise — unsupported loss names
     raise at build time rather than silently training with "bce".
+
+    ``TPU.GRAD_ACCUM_STEPS`` > 1 splits the batch into N sequential
+    microbatches (lax.scan) like make_train_step. Unlike the classification
+    path, the masked mean makes per-microbatch losses non-uniform weights:
+    to reproduce full-batch gradients exactly, the scan accumulates the
+    gradient of the UNNORMALIZED masked sum plus the total mask count, and
+    divides once at the end — grad(masked_mean over B) == sum_i
+    grad(masked_sum over m_i) / total_mask.
     """
     from ..models.losses import get_elementwise_loss_func
 
     elem_loss_fn = get_elementwise_loss_func(cfg.MODEL.LOSS_FUNC)
     donate = cfg.TPU.DONATE
+    accum = max(int(cfg.TPU.GRAD_ACCUM_STEPS), 1)
+
+    def _grad_accum(state, inputs, boxes, labels, mask, rng):
+        b = mask.shape[0]
+        assert b % accum == 0, (
+            f"batch {b} not divisible by TPU.GRAD_ACCUM_STEPS={accum}")
+        m = b // accum
+        split = lambda x: x.reshape((accum, m) + x.shape[1:])  # noqa: E731
+        mi = tuple(split(p) for p in inputs)
+
+        def body(carry, xs):
+            bstats, gacc, lacc, macc = carry
+            parts, pboxes, plabels, pmask, idx = xs
+            rois = _flatten_rois(pboxes)  # microbatch-local batch indices
+            flat_labels = plabels.reshape(-1, plabels.shape[-1])
+            flat_mask = pmask.reshape(-1)
+
+            def loss_sum(params):
+                preds, new_ms = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    list(parts), rois, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, idx)},
+                )
+                per_box = elem_loss_fn(preds, flat_labels).mean(axis=-1)
+                return (per_box * flat_mask).sum(), new_ms
+
+            (lsum, new_ms), grads = jax.value_and_grad(
+                loss_sum, has_aux=True)(state.params)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            return (new_ms.get("batch_stats", bstats), gacc, lacc + lsum,
+                    macc + flat_mask.sum()), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        init = (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(()))
+        (bstats, gsum, lsum, msum), _ = jax.lax.scan(
+            body, init,
+            (mi, split(boxes), split(labels), split(mask),
+             jnp.arange(accum)))
+        denom = jnp.maximum(msum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+        return grads, lsum / denom, {"batch_stats": bstats}
 
     def step(state: TrainState, inputs, boxes, labels, mask, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
-        rois = _flatten_rois(boxes)
-        flat_labels = labels.reshape(-1, labels.shape[-1])
-        flat_mask = mask.reshape(-1)
 
-        def compute_loss(params):
-            preds, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs, rois, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            per_box = elem_loss_fn(preds, flat_labels).mean(axis=-1)
-            loss = (per_box * flat_mask).sum() / jnp.maximum(flat_mask.sum(), 1.0)
-            return loss, (preds, new_model_state)
+        if accum > 1:
+            grads, loss, new_model_state = _grad_accum(
+                state, inputs, boxes, labels, mask, rng)
+        else:
+            rois = _flatten_rois(boxes)
+            flat_labels = labels.reshape(-1, labels.shape[-1])
+            flat_mask = mask.reshape(-1)
 
-        (loss, (preds, new_model_state)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+            def compute_loss(params):
+                preds, new_model_state = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs, rois, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                per_box = elem_loss_fn(preds, flat_labels).mean(axis=-1)
+                loss = (per_box * flat_mask).sum() / jnp.maximum(
+                    flat_mask.sum(), 1.0)
+                return loss, (preds, new_model_state)
+
+            (loss, (preds, new_model_state)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
         opt_state = state.opt_state._replace(
             hyperparams={**state.opt_state.hyperparams,
                          "learning_rate": jnp.asarray(lr, jnp.float32)}

@@ -58,14 +58,22 @@ def roi_align(
 
     if sampling_ratio > 0:
         n = int(sampling_ratio)
-        n_h = jnp.full((r,), float(n), jnp.float32)
-        n_w = n_h
+        g_h = jnp.full((r,), float(n), jnp.float32)
+        g_w = g_h
     else:
         # static cap: clipped boxes span at most the feature map, whose bins
-        # are at most ceil(max(H, W)/out) wide
+        # are at most ceil(max(H, W)/out) wide.
+        # g_* is torch's raw grid count ceil(bin) WITHOUT a lower clamp —
+        # for degenerate (zero/negative-area) boxes it is <= 0, so NO sample
+        # is active and the output is exactly torch's 0 (ROIAlign_cpu.cpp
+        # runs zero grid-loop iterations and divides by count=max(grid,1))
         n = max(1, math.ceil(max(h, w) / out))
-        n_h = jnp.clip(jnp.ceil(bin_h), 1.0, n)
-        n_w = jnp.clip(jnp.ceil(bin_w), 1.0, n)
+        g_h = jnp.minimum(jnp.ceil(bin_h), float(n))
+        g_w = jnp.minimum(jnp.ceil(bin_w), float(n))
+    # position math needs a strictly-positive divisor; degenerate grids are
+    # masked out below so the clamp never leaks into the output
+    n_h = jnp.clip(g_h, 1.0, None)
+    n_w = jnp.clip(g_w, 1.0, None)
 
     # per-ROI sample grid: position ph + (i + 0.5)/n_axis within each bin,
     # flattened to (R, out*n); samples with i >= n_axis are masked below
@@ -75,8 +83,8 @@ def roi_align(
     gx = ph[None, :, None] + (sub[None, :] / n_w[:, None])[:, None, :]
     ys = y1[:, None] + gy.reshape(r, out * n) * bin_h[:, None]
     xs = x1[:, None] + gx.reshape(r, out * n) * bin_w[:, None]
-    my = jnp.arange(n)[None, :] < n_h[:, None]        # (R, n)
-    mx = jnp.arange(n)[None, :] < n_w[:, None]
+    my = jnp.arange(n)[None, :] < g_h[:, None]        # (R, n)
+    mx = jnp.arange(n)[None, :] < g_w[:, None]
 
     def sample_one(feat, yy, xx):
         # feat (H, W, C); yy, xx (out*n,) → (out*n, out*n, C)
@@ -105,7 +113,9 @@ def roi_align(
     # for sampling_ratio>0 every sample is active and this is a plain mean
     samples = samples.reshape(r, out, n, out, n, c)
     active = (my[:, None, :, None, None] & mx[:, None, None, None, :])
-    count = (n_h * n_w)[:, None, None, None]
+    # torch: count = max(grid_h * grid_w, 1) — degenerate boxes divide an
+    # empty (all-masked) sum by 1 and pool to exactly zero
+    count = jnp.maximum(g_h * g_w, 1.0)[:, None, None, None]
     pooled = (samples * active[..., None].astype(samples.dtype)).sum(
         axis=(2, 4))
     return pooled / count.astype(samples.dtype)

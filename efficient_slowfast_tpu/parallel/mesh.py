@@ -285,7 +285,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     """Place a host pytree onto the mesh with the batch axis sharded.
 
     Single-process: a plain ``device_put`` — the host array IS the global
@@ -295,13 +295,19 @@ def shard_batch(mesh: Mesh, batch):
     ``device_put`` would misread the local batch as the global one and
     fail the mesh-divisibility check (found by the real 2-process CPU
     test, tests/test_multihost.py).
+
+    ``spatial=True`` additionally shards rank>=4 leaves' HEIGHT over the
+    "space" mesh axis — ONLY for tensors already on the fixed CROP_SIZE
+    grid (preprocessed pathway tensors fed straight to the model, e.g.
+    __graft_entry__). The default is batch-only for everything: raw host
+    canvases must ride batch-only regardless of whether their arbitrary
+    short-side height happens to divide the space axis — the height
+    split is pinned at the jitted preprocess output (constrain_spatial),
+    not at device_put (CLAUDE.md / tests/test_spatial_shard.py).
     """
     def sh(x):
         x = x if hasattr(x, "ndim") else np.asarray(x)
-        # rank>=4 leaves are frame tensors — spatial mesh shards their H
-        # (when H divides; raw canvases don't and ride batch-only);
-        # everything else (labels, boxes, masks, metadata) is batch-only
-        if x.ndim >= 4:
+        if spatial and x.ndim >= 4:
             return frames_sharding(mesh, x.ndim, h=x.shape[2])
         return data_sharding(mesh)
 

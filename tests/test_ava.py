@@ -249,21 +249,8 @@ def test_ava_detection_train_and_test_end_to_end(ava_fixture, tmp_path):
     assert "map" in stats and 0.0 <= stats["map"] <= 1.0
 
 
-def test_detection_train_step_honors_loss_func(ava_fixture):
-    """VERDICT r2 weak #3: MODEL.LOSS_FUNC must drive the detection loss.
-    "bce" (BCE on the head's post-sigmoid scores, the reference AVA setup)
-    trains; "bce_logit" raises loudly at build time instead of silently
-    computing sigmoid(sigmoid(x)) — the RoI head applies MODEL.HEAD_ACT in
-    train AND eval (reference head_helper.py:126-129), so detection preds
-    are already probabilities; so does any non-elementwise loss."""
-    import jax
-    import jax.numpy as jnp
-    import pytest
-
-    from efficient_slowfast_tpu.engine.state import (
-        create_train_state, make_detection_train_step)
-    from efficient_slowfast_tpu.models import build_model
-
+def tiny_detection_cfg(ava_fixture):
+    """Tiny SlowFast detection cfg for direct step-builder tests."""
     cfg = ava_cfg(ava_fixture)
     cfg.DATA.TRAIN_CROP_SIZE = 32
     cfg.DATA.CROP_SIZE = 32
@@ -282,6 +269,25 @@ def test_detection_train_step_honors_loss_func(ava_fixture):
     cfg.SLOWFAST.ALPHA = 4
     cfg.SLOWFAST.BETA_INV = 8
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_detection_train_step_honors_loss_func(ava_fixture):
+    """VERDICT r2 weak #3: MODEL.LOSS_FUNC must drive the detection loss.
+    "bce" (BCE on the head's post-sigmoid scores, the reference AVA setup)
+    trains; "bce_logit" raises loudly at build time instead of silently
+    computing sigmoid(sigmoid(x)) — the RoI head applies MODEL.HEAD_ACT in
+    train AND eval (reference head_helper.py:126-129), so detection preds
+    are already probabilities; so does any non-elementwise loss."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from efficient_slowfast_tpu.engine.state import (
+        create_train_state, make_detection_train_step)
+    from efficient_slowfast_tpu.models import build_model
+
+    cfg = tiny_detection_cfg(ava_fixture)
     cfg.TPU.DONATE = False  # the same state feeds both loss variants
 
     model = build_model(cfg)
@@ -312,6 +318,95 @@ def test_detection_train_step_honors_loss_func(ava_fixture):
     cfg.MODEL.LOSS_FUNC = "cross_entropy"
     with pytest.raises(NotImplementedError, match="cross_entropy"):
         make_detection_train_step(cfg, model, tx)
+
+
+def test_detection_grad_accum_matches_manual_microbatching(ava_fixture):
+    """TPU.GRAD_ACCUM_STEPS=2 on the detection step must equal the
+    hand-rolled reference: grads of the UNNORMALIZED masked loss sums
+    accumulated across two half-batches (BN stats threaded through),
+    divided by the TOTAL mask count, one optimizer update. The mask is
+    deliberately uneven across microbatches (3 vs 1 real boxes) — the
+    failure mode this guards is averaging per-microbatch masked MEANS,
+    which weights the lone box of microbatch 2 as much as the 3 boxes of
+    microbatch 1."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from efficient_slowfast_tpu.engine.state import (
+        _flatten_rois, create_train_state, make_detection_train_step)
+    from efficient_slowfast_tpu.models import build_model
+    from efficient_slowfast_tpu.models.losses import (
+        get_elementwise_loss_func)
+
+    cfg = tiny_detection_cfg(ava_fixture)
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.MODEL.LOSS_FUNC = "bce"
+    cfg.TPU.DONATE = False
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(cfg, model, rng)
+
+    b, m, ncls = 4, 2, cfg.MODEL.NUM_CLASSES
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.CROP_SIZE
+    key = jax.random.PRNGKey(1)
+    inputs = [
+        jax.random.normal(key, (b, t // cfg.SLOWFAST.ALPHA, s, s, 3)),
+        jax.random.normal(key, (b, t, s, s, 3)),
+    ]
+    boxes = jnp.tile(jnp.asarray([[2.0, 2.0, 20.0, 20.0]]), (b, m, 1))
+    labels = (jax.random.uniform(key, (b, m, ncls)) > 0.5).astype(jnp.float32)
+    mask = jnp.asarray([[1, 1], [1, 0], [1, 0], [0, 0]], jnp.float32)
+
+    cfg.TPU.GRAD_ACCUM_STEPS = 2
+    step2 = make_detection_train_step(cfg, model, tx)
+    new_state, mets = step2(state, inputs, boxes, labels, mask, 0.05, rng)
+
+    elem = get_elementwise_loss_func("bce")
+    folded = jax.random.fold_in(rng, state.step)
+
+    def masked_sum(params, bstats, half, idx):
+        pi = [p[half] for p in inputs]
+        rois = _flatten_rois(boxes[half])
+        fl = labels[half].reshape(-1, ncls)
+        fm = mask[half].reshape(-1)
+
+        def f(p):
+            preds, ms = model.apply(
+                {"params": p, "batch_stats": bstats}, pi, rois, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(folded, idx)})
+            return (elem(preds, fl).mean(axis=-1) * fm).sum(), ms
+        (lsum, ms), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return lsum, grads, ms["batch_stats"]
+
+    @jax.jit
+    def manual(params, bstats0, opt_state0):
+        l0, g0, bstats = masked_sum(params, bstats0, slice(0, 2), 0)
+        l1, g1, bstats = masked_sum(params, bstats, slice(2, 4), 1)
+        total = jnp.maximum(mask.sum(), 1.0)
+        grads = jax.tree_util.tree_map(lambda a, c: (a + c) / total, g0, g1)
+        opt_state0 = opt_state0._replace(hyperparams={
+            **opt_state0.hyperparams,
+            "learning_rate": jnp.asarray(0.05, jnp.float32)})
+        updates, _ = tx.update(grads, opt_state0, params)
+        return (optax.apply_updates(params, updates), bstats,
+                (l0 + l1) / total)
+
+    ref_params, ref_bstats, ref_loss = manual(
+        state.params, state.batch_stats, state.opt_state)
+
+    np.testing.assert_allclose(float(mets["loss"]), float(ref_loss),
+                               rtol=5e-3, atol=2e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-3, atol=2e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(ref_bstats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-3, atol=2e-4)
 
 
 def test_ava_test_force_flip(ava_fixture):

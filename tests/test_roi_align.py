@@ -26,8 +26,11 @@ def np_roi_align(feat, boxes, out, scale, n=2, aligned=True):
         if not aligned:
             rw, rh = max(rw, 1.0), max(rh, 1.0)
         bw, bh = rw / out, rh / out
-        n_h = n if n > 0 else max(int(np.ceil(rh / out)), 1)
-        n_w = n if n > 0 else max(int(np.ceil(rw / out)), 1)
+        # torch: grid = ceil(bin) with NO lower clamp (degenerate boxes get
+        # an empty grid); count = max(grid_h*grid_w, 1)
+        n_h = n if n > 0 else int(np.ceil(rh / out))
+        n_w = n if n > 0 else int(np.ceil(rw / out))
+        count = max(n_h * n_w, 1)
         f = feat[int(bi)]
         for ph in range(out):
             for pw in range(out):
@@ -48,7 +51,7 @@ def np_roi_align(feat, boxes, out, scale, n=2, aligned=True):
                              + f[y0, x1b] * (1 - fy) * fx
                              + f[y1b, x1b] * fy * fx)
                         acc += v
-                res[r, ph, pw] = acc / (n_h * n_w)
+                res[r, ph, pw] = acc / count
     return res
 
 
@@ -112,3 +115,26 @@ def test_roi_align_adaptive_grid_matches_detectron2_semantics():
     # on the large full-map box (otherwise this test proves nothing)
     fixed = np_roi_align(feat, boxes[2:3], 7, scale, n=2, aligned=True)
     assert np.abs(fixed - ref[2:3]).max() > 1e-4
+
+
+def test_roi_align_degenerate_boxes_pool_to_zero():
+    """Zero/negative-area boxes under sampling_ratio=0 + aligned=True: torch
+    runs ZERO grid-loop iterations (grid = ceil(bin) without a lower clamp)
+    and divides by count=max(grid,1), pooling to exactly 0 — padded AVA box
+    slots are exactly this shape (round-4 review finding #5; the old kernel
+    clamped the grid to 1 and returned the bilinear value at the collapsed
+    edge instead)."""
+    rs = np.random.RandomState(2)
+    feat = rs.randn(1, 16, 16, 4).astype(np.float32) + 5.0  # keep away from 0
+    scale = 1.0 / 16
+    boxes = np.array([
+        [0, 0.0, 0.0, 0.0, 0.0],           # the padded-slot shape
+        [0, 64.0, 64.0, 64.0, 200.0],      # zero width, tall
+        [0, 64.0, 64.0, 200.0, 64.0],      # zero height, wide
+        [0, 120.0, 120.0, 80.0, 80.0],     # inverted (negative area)
+    ], np.float32)
+    out = roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, scale,
+                    sampling_ratio=0, aligned=True)
+    assert float(np.abs(np.asarray(out)).max()) == 0.0
+    ref = np_roi_align(feat, boxes, 7, scale, n=0, aligned=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)

@@ -55,24 +55,29 @@ def test_mesh_shapes_and_batch_divisor():
 
     frames = jnp.zeros((2, 8, 32, 32, 3))
     labels = jnp.zeros((2,), jnp.int32)
-    sharded = shard_batch(mesh, {"frames": frames, "labels": labels})
+    sharded = shard_batch(
+        mesh, {"frames": frames, "labels": labels}, spatial=True)
     fspec = sharded["frames"].sharding.spec
     assert tuple(fspec)[:3] == (DATA_AXIS, None, SPACE_AXIS)
     assert tuple(sharded["labels"].sharding.spec) == (DATA_AXIS,)
 
 
-def test_raw_canvas_with_odd_height_rides_batch_only():
-    """Raw host canvases have arbitrary short-side heights (e.g. 45) that
-    don't divide the space axis — shard_batch must fall back to batch-only
-    for them (the height split starts at the preprocess output via
-    constrain_spatial). Found by driving tools/run_net.py with
-    TPU.SPATIAL_SHARD 2 on real loader batches."""
+def test_raw_canvas_rides_batch_only():
+    """Raw host canvases ride batch-only regardless of whether their
+    arbitrary short-side height happens to divide the space axis — the
+    height split is pinned at the preprocess output (constrain_spatial),
+    never at device_put. shard_batch only height-shards when the caller
+    passes spatial=True (preprocessed CROP_SIZE tensors)."""
     cfg = tiny_slowfast_cfg()
     cfg.TPU.SPATIAL_SHARD = 4
     mesh = build_mesh(cfg)
-    raw = jnp.zeros((2, 8, 45, 90, 3), jnp.uint8)  # 45 % 4 != 0
-    sharded = shard_batch(mesh, {"frames": raw})
-    assert tuple(sharded["frames"].sharding.spec) == (DATA_AXIS,)
+    for h in (45, 256):  # 45 % 4 != 0; 256 % 4 == 0 (the common case)
+        raw = jnp.zeros((2, 8, h, 2 * h, 3), jnp.uint8)
+        sharded = shard_batch(mesh, {"frames": raw})
+        assert tuple(sharded["frames"].sharding.spec) == (DATA_AXIS,), h
+    # spatial=True with a non-dividing H still falls back to batch-only
+    odd = shard_batch(mesh, jnp.zeros((2, 8, 45, 90, 3)), spatial=True)
+    assert tuple(odd.sharding.spec) == (DATA_AXIS,)
 
 
 def test_preprocess_output_is_height_sharded():
@@ -112,7 +117,7 @@ def _forward(cfg, rng, batch=8):
         jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
         for i, x in enumerate(pathway_inputs(cfg, batch))
     ]
-    inputs = shard_batch(mesh, inputs)
+    inputs = shard_batch(mesh, inputs, spatial=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     return np.asarray(fwd(variables, inputs))
 
@@ -136,7 +141,7 @@ def _one_train_step(cfg, rng, batch=8):
         for i, x in enumerate(pathway_inputs(cfg, batch))
     ]
     labels = jnp.arange(batch) % cfg.MODEL.NUM_CLASSES
-    inputs = shard_batch(mesh, inputs)
+    inputs = shard_batch(mesh, inputs, spatial=True)
     labels = shard_batch(mesh, labels)
     state, mets = step(state, inputs, labels, 0.01, rng)
     leaf = jax.tree_util.tree_leaves(state.params)[0]
@@ -181,7 +186,7 @@ def test_detection_forward_spatial_shard(rng):
         ]
         boxes = np.tile(np.asarray([1.0, 2.0, s - 3.0, s - 1.0], np.float32),
                         (batch, max_boxes, 1))
-        inputs = shard_batch(mesh, inputs)
+        inputs = shard_batch(mesh, inputs, spatial=True)
         boxes = shard_batch(mesh, jnp.asarray(boxes))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return np.asarray(fwd(variables, inputs, boxes))
