@@ -56,6 +56,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_BASELINE_CLIPS_PER_SEC = 135.0
 V5E_BF16_PEAK_TFLOPS = 197.0
 
+# Last-good-headline persistence (saturation fallback, eval mode). The
+# shared dev chip sees multi-hour co-tenant saturation; if a whole retry
+# budget expires without one quiet probe window, the headline invocation
+# emits the most recent SUCCESSFUL measurement explicitly marked stale
+# instead of producing no artifact for the round.
+HEADLINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tmp",
+    "bench_headline_cache.json")
+
+
+def _persist_headline(headline, cache_path=HEADLINE_CACHE):
+    """Write the just-measured headline dict (+ measured_at UTC stamp)."""
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        record = dict(headline)
+        record["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(cache_path, "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
+
+
+def _stale_headline(reason, cache_path=HEADLINE_CACHE):
+    """Load the persisted last-good headline, marked stale; None if absent.
+
+    The returned line keeps the original metric/value/measured_at and adds
+    ``stale: true`` + the saturation error as ``stale_reason`` so the
+    artifact can never be mistaken for a fresh measurement."""
+    if not os.path.exists(cache_path):
+        return None
+    with open(cache_path) as f:
+        cached = json.load(f)
+    cached["stale"] = True
+    cached["stale_reason"] = str(reason)[:200]
+    return cached
+
 
 def _flagship_cfg():
     import jax
@@ -951,9 +988,21 @@ def main():
         # driver-recorded artifact carries both metrics. A failure on the
         # second leg must never cost the headline: it degrades to an error
         # string inside the same line.
+        # Saturation fallback (see HEADLINE_CACHE): whole-budget saturation
+        # emits the last-good headline marked stale — an honest degraded
+        # line beats an empty round artifact.
         lines = []
-        with_contention_retry(lambda: bench_eval(_flagship_cfg(),
-                                                 lines.append))
+        try:
+            with_contention_retry(lambda: bench_eval(_flagship_cfg(),
+                                                     lines.append))
+        except RuntimeError as e:
+            cached = (_stale_headline(e)
+                      if "saturated for the whole retry budget" in str(e)
+                      else None)
+            if cached is None:
+                raise
+            emit(cached)
+            return
         headline = lines[0]
         try:
             jax.clear_caches()  # drop the R50 executables before the 2nd leg
@@ -971,6 +1020,7 @@ def main():
             headline["second_north_star"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]}
         emit(headline)
+        _persist_headline(headline)
     elif args.mode == "train":
         with_contention_retry(lambda: bench_train(_flagship_cfg(), emit))
     elif args.mode == "shufflenetv2":

@@ -304,6 +304,14 @@ _C.DEMO.OUTPUT_FILE = ""
 # ({"<window_idx>": [[x1,y1,x2,y2], ...]} normalized to [0,1]); replaces
 # the reference's live detectron2 person detector (external model).
 _C.DEMO.BOXES_FILE = ""
+# Pluggable live person detector: "package.module:symbol" resolved at demo
+# start. The symbol is a per-window callable ``fn(frames, window_idx) ->
+# (N, 4) normalized [x1,y1,x2,y2]`` (frames: (T,H,W,3) uint8 RGB), a class
+# instantiated once as ``cls(cfg)`` whose instance is that callable, or a
+# one-parameter factory ``make(cfg)`` returning it. Generalizes the
+# reference's bundled detectron2 predictor (tools/demo_net.py:130-146) to
+# any detector, and unlike BOXES_FILE it works on live camera sources.
+_C.DEMO.DETECTOR_FN = ""
 
 # ---------------------------------------------------------------------------
 # TPU-specific options (new in this framework)

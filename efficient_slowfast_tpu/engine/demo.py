@@ -13,11 +13,13 @@ inject synthetic streams through the ``stream``/``capture`` parameters.
 
 Detection mode (cfg.DETECTION.ENABLE): person boxes come from a
 DEMO.BOXES_FILE json — ``{"<window_idx>": [[x1,y1,x2,y2], ...]}`` in
-normalized [0,1] coordinates — the demo scales them to the canvas, runs
-the RoI head per window, logs per-box top-k actions, and draws box +
-label overlays. (The reference's live detectron2 person detector is an
-external model; SURVEY §2.8 flags it out of scope — any detector's boxes
-can be supplied through the file.)
+normalized [0,1] coordinates — OR live from a pluggable detector named by
+DEMO.DETECTOR_FN ("module:symbol", called per window with the raw RGB
+frames; the generalization of the reference's bundled detectron2 person
+predictor, tools/demo_net.py:130-146). The demo scales the boxes to the
+canvas, runs the RoI head per window, logs per-box top-k actions, and
+draws box + label overlays. A live detector also unlocks camera sources
+for detection, which precomputed boxes fundamentally cannot serve.
 """
 
 from __future__ import annotations
@@ -193,6 +195,64 @@ class _LazyWriter:
                         self.path, enc.frames_written)
 
 
+def _load_detector(cfg):
+    """Resolve DEMO.DETECTOR_FN ("package.module:symbol") into a per-window
+    detector callable ``fn(frames, window_idx) -> (N, 4)`` of normalized
+    [x1,y1,x2,y2] boxes over the raw frame.
+
+    Three shapes of symbol are accepted (so detectors that need one-time
+    model loading don't rebuild per window): a plain per-window function, a
+    class instantiated once as ``cls(cfg)``, or a one-parameter factory
+    ``make(cfg)`` returning the per-window callable. This is the TPU
+    build's counterpart of the reference's in-process detectron2
+    DefaultPredictor (tools/demo_net.py:130-146) — any person detector
+    (torch, ONNX, a remote service) plugs in without framework changes.
+    """
+    import importlib
+    import inspect
+
+    spec = cfg.DEMO.DETECTOR_FN
+    mod_name, sep, attr_path = spec.partition(":")
+    if not sep:
+        mod_name, _, attr_path = spec.rpartition(".")
+    if not mod_name or not attr_path:
+        raise ValueError(
+            f"DEMO.DETECTOR_FN={spec!r} — expected 'package.module:symbol'")
+    try:
+        obj = importlib.import_module(mod_name)
+    except ImportError as e:
+        raise RuntimeError(
+            f"DEMO.DETECTOR_FN: cannot import module {mod_name!r} "
+            f"(is it on PYTHONPATH?)") from e
+    for part in attr_path.split("."):
+        obj = getattr(obj, part)
+    if inspect.isclass(obj):
+        obj = obj(cfg)
+    else:
+        try:
+            params = list(inspect.signature(obj).parameters)
+        except (TypeError, ValueError):
+            params = None
+        if params == ["cfg"]:
+            obj = obj(cfg)  # factory
+    if not callable(obj):
+        raise TypeError(
+            f"DEMO.DETECTOR_FN={spec!r} resolved to a non-callable "
+            f"{type(obj).__name__}")
+
+    def detect(frames, widx):
+        boxes = np.asarray(obj(frames, widx), np.float32)
+        if boxes.size == 0:
+            return np.zeros((0, 4), np.float32)
+        if boxes.ndim != 2 or boxes.shape[1] != 4:
+            raise ValueError(
+                f"detector returned shape {boxes.shape} for window {widx}; "
+                "expected (N, 4) normalized [x1,y1,x2,y2]")
+        return np.clip(boxes, 0.0, 1.0)
+
+    return detect
+
+
 def _demo_calibrate(cfg, model, variables, batch, widx):
     """Lazy first-window int8 calibration + persistence (calibrate once,
     serve many — the next demo/test run loads the file instead)."""
@@ -239,7 +299,7 @@ def demo(cfg, stream=None, display=None):
 
     if cfg.DETECTION.ENABLE:
         return _demo_detection(cfg, model, variables, mesh, labels,
-                               display=display)
+                               display=display, stream=stream)
     fwd = make_forward(cfg, model)
     preprocess = make_test_preprocess(cfg)
 
@@ -334,46 +394,63 @@ def demo(cfg, stream=None, display=None):
     return results
 
 
-def _demo_detection(cfg, model, variables, mesh, labels, display=None):
-    """Sliding-window action detection with precomputed person boxes
-    (reference: tools/demo_net.py detection branch, detectron2 replaced by
-    a DEMO.BOXES_FILE json of normalized [x1,y1,x2,y2] boxes per window)."""
+def _demo_detection(cfg, model, variables, mesh, labels, display=None,
+                    stream=None):
+    """Sliding-window action detection. Person boxes come from a
+    DEMO.DETECTOR_FN live detector (per-window callable over the raw
+    frames — the reference's detectron2 branch, tools/demo_net.py:130-146,
+    with the detector pluggable) or a DEMO.BOXES_FILE json of precomputed
+    normalized [x1,y1,x2,y2] boxes per window."""
     from ..data.ava_dataset import MAX_BOXES
-    from ..data.datasets import fit_canvas
     from ..data.preprocess import make_detection_preprocess
     from .state import make_detection_forward
 
-    assert cfg.DEMO.BOXES_FILE, (
-        "detection demo needs DEMO.BOXES_FILE (json: window idx -> "
-        "normalized [x1,y1,x2,y2] person boxes)"
-    )
-    with open(cfg.DEMO.BOXES_FILE) as f:
-        boxes_by_window = {int(k): np.asarray(v, np.float32)
-                           for k, v in json.load(f).items()}
-
-    assert not _is_camera_source(cfg.DEMO.DATA_SOURCE), (
-        "detection demo is file-based: DEMO.BOXES_FILE holds per-window "
-        "boxes of a known video, which a live camera cannot have. Wire an "
-        "online person detector's output into BOXES_FILE windows, or use a "
-        "file source (PARITY.md: the reference bundles a Detectron2 "
-        "predictor; any detector can produce the boxes here)"
-    )
+    if cfg.DEMO.DETECTOR_FN:
+        get_boxes = _load_detector(cfg)
+    else:
+        assert cfg.DEMO.BOXES_FILE, (
+            "detection demo needs person boxes: set DEMO.DETECTOR_FN "
+            "('module:symbol' live detector) or DEMO.BOXES_FILE (json: "
+            "window idx -> normalized [x1,y1,x2,y2] boxes)"
+        )
+        with open(cfg.DEMO.BOXES_FILE) as f:
+            boxes_by_window = {int(k): np.asarray(v, np.float32)
+                               for k, v in json.load(f).items()}
+        get_boxes = lambda frames, widx: boxes_by_window.get(  # noqa: E731
+            widx, np.zeros((0, 4), np.float32))
+        assert stream is not None or not _is_camera_source(
+            cfg.DEMO.DATA_SOURCE), (
+            "DEMO.BOXES_FILE holds per-window boxes of a known video, "
+            "which a live camera cannot have. Set DEMO.DETECTOR_FN to run "
+            "a live person detector (any detector plugs in), or use a "
+            "file source"
+        )
     preprocess = make_detection_preprocess(cfg)
     fwd = make_detection_forward(cfg, model)
 
-    info = decoder.probe(cfg.DEMO.DATA_SOURCE)
-    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
-    clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
-                  / cfg.DATA.TARGET_FPS)
-    stream = file_window_stream(cfg, info)  # one window source, both paths
+    if stream is None and _is_camera_source(cfg.DEMO.DATA_SOURCE):
+        capture = _open_camera(cfg)
+        # camera windows follow the capture rate (no TARGET_FPS resample),
+        # same convention as the classification camera path
+        clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                      / _capture_fps(capture))
+        stream = camera_window_stream(cfg, capture)
+    else:
+        if stream is None:
+            info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+            assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
+            stream = file_window_stream(cfg, info)
+        clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                      / cfg.DATA.TARGET_FPS)
 
     short = cfg.DATA.TEST_CROP_SIZE
     rep = replicated(mesh)
     results = []
     # windows hold NUM_FRAMES frames spanning NUM_FRAMES*SAMPLING_RATE
-    # source frames at TARGET_FPS
+    # source frames (TARGET_FPS for files, capture rate for cameras) —
+    # NUM_FRAMES/clip_len_s is that rate post-subsampling
     writer = _LazyWriter(cfg.DEMO.OUTPUT_FILE,
-                         cfg.DATA.TARGET_FPS / cfg.DATA.SAMPLING_RATE)
+                         cfg.DATA.NUM_FRAMES / clip_len_s)
     close_display = lambda: None  # noqa: E731
     if display is None:
         display, close_display = _make_display(cfg)
@@ -394,7 +471,7 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     t0 = time.time()
     try:
         _detection_window_loop(
-            cfg, model, variables, fwd, preprocess, rep, boxes_by_window,
+            cfg, model, variables, fwd, preprocess, rep, get_boxes,
             stream, short, _wc, clip_len_s, labels, results, writer,
             display)
     finally:
@@ -407,12 +484,13 @@ def _demo_detection(cfg, model, variables, mesh, labels, display=None):
     if cfg.DEMO.OUTPUT_FILE and writer.frames_written == 0:
         logger.warning(
             "DEMO.OUTPUT_FILE set but no window produced frames "
-            "(no boxes matched any window index?) — nothing written")
+            "(detector/boxes yielded nothing for any window?) — "
+            "nothing written")
     return results
 
 
 def _detection_window_loop(cfg, model, variables, fwd, preprocess, rep,
-                           boxes_by_window, stream, short, _wc,
+                           get_boxes, stream, short, _wc,
                            clip_len_s, labels, results, writer, display):
     from ..data.ava_dataset import MAX_BOXES
     from ..data.datasets import fit_canvas
@@ -420,7 +498,7 @@ def _detection_window_loop(cfg, model, variables, fwd, preprocess, rep,
     t_prev = time.time()
     for widx, frames in stream:
         canvas, width, _ = fit_canvas(frames, short)
-        nboxes = boxes_by_window.get(widx, np.zeros((0, 4), np.float32))
+        nboxes = get_boxes(frames, widx)
         if len(nboxes) == 0:
             # keep the output video time-continuous: pass the window
             # through un-annotated instead of silently dropping it

@@ -1,0 +1,51 @@
+"""Unit tests for bench.py's headline saturation fallback.
+
+The driver's end-of-round invocation is ``python bench.py`` on the shared
+TPU chip, which sees multi-hour co-tenant saturation episodes. bench.py
+persists every successful headline (``_persist_headline``) and, when a
+whole retry budget expires without a quiet probe window, emits the
+last-good line explicitly marked stale (``_stale_headline``) instead of
+producing no artifact. These tests cover the pure-host helpers — no TPU,
+no jax backend init (bench.py imports jax lazily inside functions).
+"""
+import json
+
+import bench
+
+
+def test_persist_then_stale_round_trip(tmp_path):
+    cache = tmp_path / "headline.json"
+    headline = {"metric": "eval_clips_per_sec", "value": 517.7,
+                "unit": "clips/s", "vs_baseline": 3.835,
+                "second_north_star": {"value": 5164.0}}
+    bench._persist_headline(headline, cache_path=str(cache))
+
+    record = json.loads(cache.read_text())
+    # the persisted record carries a UTC timestamp; the original dict is
+    # not mutated (the driver already printed it)
+    assert "measured_at" in record and "measured_at" not in headline
+    assert record["value"] == 517.7
+
+    stale = bench._stale_headline(
+        RuntimeError("chip saturated for the whole retry budget (2700s)"),
+        cache_path=str(cache))
+    assert stale["stale"] is True
+    assert "saturated" in stale["stale_reason"]
+    assert stale["value"] == 517.7
+    assert stale["measured_at"] == record["measured_at"]
+    assert stale["second_north_star"] == {"value": 5164.0}
+    # still one valid JSON line
+    json.dumps(stale)
+
+
+def test_stale_headline_missing_cache_returns_none(tmp_path):
+    assert bench._stale_headline(
+        "x", cache_path=str(tmp_path / "absent.json")) is None
+
+
+def test_stale_reason_is_truncated(tmp_path):
+    cache = tmp_path / "headline.json"
+    bench._persist_headline({"metric": "m", "value": 1.0},
+                            cache_path=str(cache))
+    stale = bench._stale_headline("e" * 1000, cache_path=str(cache))
+    assert len(stale["stale_reason"]) == 200

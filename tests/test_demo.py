@@ -307,3 +307,128 @@ def test_demo_int8_lazy_calibration(tmp_path, monkeypatch):
     for entry in results:
         assert len(entry["top_classes"]) == len(entry["scores"]) >= 1
         assert all(np.isfinite(s) for s in entry["scores"])
+
+
+_DETECTOR_PLUGIN = '''
+import numpy as np
+
+CALLS = []
+
+
+def window_detector(frames, widx):
+    """Per-window function form: boxes over the raw frames."""
+    CALLS.append((widx, frames.shape))
+    return np.asarray([[0.1, 0.1, 0.6, 0.9]], np.float32)
+
+
+class CfgDetector:
+    """Class form: instantiated once as cls(cfg)."""
+
+    def __init__(self, cfg):
+        self.crop = cfg.DATA.TEST_CROP_SIZE
+
+    def __call__(self, frames, widx):
+        return np.asarray([[0.2, 0.2, 0.8, 0.8]], np.float32)
+
+
+def make_detector(cfg):
+    """Factory form: make(cfg) -> per-window callable."""
+    def fn(frames, widx):
+        # out-of-range coords on purpose: the loader must clip to [0,1]
+        return np.asarray([[-0.5, 0.0, 1.5, 2.0]], np.float32)
+    return fn
+
+
+def bad_shape_detector(frames, widx):
+    return np.asarray([0.1, 0.1, 0.6], np.float32)
+'''
+
+
+def _write_detector_plugin(tmp_path, monkeypatch):
+    (tmp_path / "demo_det_plugin.py").write_text(_DETECTOR_PLUGIN)
+    monkeypatch.syspath_prepend(str(tmp_path))
+    import sys
+
+    sys.modules.pop("demo_det_plugin", None)
+
+
+def test_demo_detection_live_detector_on_camera_stream(tmp_path, monkeypatch):
+    """DEMO.DETECTOR_FN: a pluggable live person detector drives the
+    detection demo — including on a camera-form source, which
+    DEMO.BOXES_FILE fundamentally cannot serve (the generalization of the
+    reference's bundled detectron2 predictor, tools/demo_net.py:130-146).
+    The detector sees the RAW window frames and its boxes flow through the
+    same canvas mapping as precomputed ones."""
+    _write_detector_plugin(tmp_path, monkeypatch)
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/AVA/SLOWFAST_32x2_R50_SHORT.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.DATA.CROP_SIZE = 64
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DEMO.DATA_SOURCE = "0"  # camera index form; stream injected below
+    cfg.DEMO.DETECTOR_FN = "demo_det_plugin:window_detector"
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "det.mp4")
+    cfg.OUTPUT_DIR = str(tmp_path / "run")
+
+    rs = np.random.RandomState(5)
+    stream = [(w, rs.randint(0, 255, (8, 96, 128, 3), np.uint8))
+              for w in range(2)]
+    results = demo(cfg, stream=iter(stream))
+
+    import demo_det_plugin
+
+    # called once per window with the raw (pre-canvas) frames
+    assert demo_det_plugin.CALLS == [(0, (8, 96, 128, 3)),
+                                     (1, (8, 96, 128, 3))]
+    assert len(results) == 2
+    for entry in results:
+        (be,) = entry["boxes"]
+        assert len(be["box"]) == 4
+        assert len(be["top_classes"]) == len(be["scores"]) >= 1
+        assert all(0.0 <= s <= 1.0 for s in be["scores"])
+    assert os.path.exists(cfg.DEMO.OUTPUT_FILE)
+    assert decoder.probe(cfg.DEMO.OUTPUT_FILE)["nb_frames"] > 0
+
+
+def test_load_detector_forms_and_validation(tmp_path, monkeypatch):
+    """_load_detector resolves all three symbol forms (function, class(cfg),
+    factory(cfg)), clips returned boxes to [0,1], and rejects bad shapes."""
+    import pytest
+
+    from efficient_slowfast_tpu.engine.demo import _load_detector
+
+    _write_detector_plugin(tmp_path, monkeypatch)
+    frames = np.zeros((4, 32, 48, 3), np.uint8)
+
+    cfg = get_cfg()
+    cfg.DEMO.DETECTOR_FN = "demo_det_plugin:window_detector"
+    np.testing.assert_allclose(_load_detector(cfg)(frames, 0),
+                               [[0.1, 0.1, 0.6, 0.9]])
+
+    cfg.DEMO.DETECTOR_FN = "demo_det_plugin:CfgDetector"
+    np.testing.assert_allclose(_load_detector(cfg)(frames, 0),
+                               [[0.2, 0.2, 0.8, 0.8]])
+
+    cfg.DEMO.DETECTOR_FN = "demo_det_plugin:make_detector"
+    # factory output clipped into [0,1]
+    np.testing.assert_allclose(_load_detector(cfg)(frames, 0),
+                               [[0.0, 0.0, 1.0, 1.0]])
+
+    cfg.DEMO.DETECTOR_FN = "demo_det_plugin:bad_shape_detector"
+    with pytest.raises(ValueError, match="expected \\(N, 4\\)"):
+        _load_detector(cfg)(frames, 0)
+
+    cfg.DEMO.DETECTOR_FN = "no_such_module:fn"
+    with pytest.raises(RuntimeError, match="cannot import"):
+        _load_detector(cfg)
+
+    cfg.DEMO.DETECTOR_FN = "justamodule"
+    with pytest.raises(ValueError, match="package.module:symbol"):
+        _load_detector(cfg)
