@@ -97,6 +97,23 @@ class _FrameListDataset:
             1 if mode in ("train", "val")
             else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
         )
+        # multi-view test: eval-mode temporal sampling is deterministic, so
+        # the NUM_SPATIAL_CROPS items of a view (all num_clips items for
+        # SSv2, whose eval sampling ignores the view index) read identical
+        # jpg frames — share one read (see datasets._DecodeMemo)
+        from .datasets import _DecodeMemo
+
+        self._test_decode_memo = _DecodeMemo() if mode == "test" else None
+
+    def _load_frames_shared(self, index: int, temporal_idx: int, loader_fn):
+        """Test mode: serve all spatial crops of one (video, view) from a
+        single frame read; train/val (random sampling) bypass the memo.
+        Exceptions from ``loader_fn`` propagate uncached (retry stays real).
+        """
+        if self._test_decode_memo is None:
+            return loader_fn()
+        return self._test_decode_memo.get_or_compute(
+            (index // self._num_clips, temporal_idx), loader_fn)
 
     def _short_side(self) -> int:
         if self.mode in ("train", "val"):
@@ -173,9 +190,9 @@ class Ssv2(_FrameListDataset):
                 seq.append(random.randint(start, end))
             else:
                 seq.append((start + end) // 2)
-        frames = retry_load_images(
+        frames = self._load_frames_shared(index, 0, lambda: retry_load_images(
             [self._path_to_videos[index][f] for f in seq], self._num_retries
-        )
+        ))
         spatial_idx = (-1 if self.mode in ("train", "val")
                        else index % self.cfg.TEST.NUM_SPATIAL_CROPS)
         return self._sample(frames, index, np.int64(self._labels[index]),
@@ -229,9 +246,11 @@ class Charades(_FrameListDataset):
             start = int(round(gap * temporal_idx))
         seq = [max(min(start + i * sampling, video_length - 1), 0)
                for i in range(num_frames)]
-        frames = retry_load_images(
-            [self._path_to_videos[index][f] for f in seq], self._num_retries
-        )
+        frames = self._load_frames_shared(
+            index, max(temporal_idx, 0), lambda: retry_load_images(
+                [self._path_to_videos[index][f] for f in seq],
+                self._num_retries
+            ))
         label = aggregate_labels(
             [self._labels[index][i] for i in range(seq[0], seq[-1] + 1)]
         )
