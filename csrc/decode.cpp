@@ -252,7 +252,13 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
 
     size_t row_bytes = size_t(max_width) * 3;
     size_t frame_bytes = size_t(short_side) * row_bytes;
-    std::memset(out, 0, size_t(num_frames) * frame_bytes);
+    // Right-pad (columns >= crop_w) is zeroed per row below instead of a
+    // whole-buffer memset: content rows always span all short_side rows
+    // (crop_h == short_side on both branches), so only the column tail
+    // needs zeroing — a whole-buffer pass costs ~6% of decode time at
+    // canvas sizes (3.15 ms / 12.6 MB buffer, PERF.md r4) and doubles for
+    // the test loader's wide (4:1) buffers.
+    size_t pad_bytes = size_t(max_width - crop_w) * 3;
 
     for (int i = 0; i < num_frames; ++i) {
         double pos = (num_frames == 1)
@@ -274,13 +280,17 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
                     orow[size_t(y) * 3 + 1] = p[1];
                     orow[size_t(y) * 3 + 2] = p[2];
                 }
+                if (pad_bytes)
+                    std::memset(orow + size_t(crop_w) * 3, 0, pad_bytes);
             }
         } else {
             for (int y = 0; y < crop_h; ++y) {
+                uint8_t* orow = dst + size_t(y) * row_bytes;
                 const uint8_t* src =
                     rgb.data() + (size_t(y + y_off) * new_w + x_off) * 3;
-                std::memcpy(dst + size_t(y) * row_bytes, src,
-                            size_t(crop_w) * 3);
+                std::memcpy(orow, src, size_t(crop_w) * 3);
+                if (pad_bytes)
+                    std::memset(orow + size_t(crop_w) * 3, 0, pad_bytes);
             }
         }
     }

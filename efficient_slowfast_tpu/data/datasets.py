@@ -21,6 +21,7 @@ Decode backends:
 
 from __future__ import annotations
 
+import math
 import os
 import random
 from typing import List, Optional, Tuple
@@ -35,6 +36,18 @@ logger = get_logger(__name__)
 
 def canvas_width(short_side: int) -> int:
     return short_side * 2
+
+
+#: Test-mode decode cap for the long axis, as a multiple of the short side.
+#: The batch canvas is fixed at 2:1 (`canvas_width`), but the reference's
+#: 3-position test protocol spans the FULL long axis at any aspect
+#: (slowfast/datasets/transform.py:425-468): for content beyond 2:1 the host
+#: decodes up to this aspect and `fit_canvas_into(long_view=k)` cuts a
+#: per-view 2:1 window positioned so the device crop lands exactly on the
+#: reference's left/center/right (top/center/bottom) pixels. Content beyond
+#: this cap (no mainstream media: anamorphic cinema tops out at ~2.76:1) is
+#: center-cropped to the cap before the protocol.
+TEST_DECODE_ASPECT = 4.0
 
 
 def get_random_sampling_rate(long_cycle_sampling_rate, sampling_rate):
@@ -66,7 +79,8 @@ def temporal_sample_np(frames: np.ndarray, start_idx, end_idx, num_samples):
 
 
 def fit_canvas_into(frames: np.ndarray, short: int,
-                    out: np.ndarray, keep_portrait: bool = False):
+                    out: np.ndarray, keep_portrait: bool = False,
+                    long_view: int = -1):
     """``fit_canvas`` writing directly into a preallocated canvas slot.
 
     Used by the loader's preallocated-batch fast path: workers paste their
@@ -81,6 +95,15 @@ def fit_canvas_into(frames: np.ndarray, short: int,
     square crop back (data/preprocess.py). This reproduces the reference's
     3-position top/center/bottom test protocol for portrait media
     (reference: slowfast/datasets/transform.py:425-468 uniform_crop).
+
+    ``long_view`` positions the canvas window on content whose long axis
+    exceeds the 2:1 canvas (cinema ≈ 2.39:1, extreme portrait). The
+    reference's test crops sit at 0 / ceil((L-S)/2) / L-S of the FULL
+    resized long axis L (transform.py:447-460, S = crop == ``short`` here);
+    the device crop then lands at 0 / ceil((wc-S)/2) / wc-S of the window
+    (preprocess.uniform_crop_boxes), so window start = reference position −
+    device position makes the composition EXACT per view k ∈ {0, 1, 2}.
+    Any other value (train/val's spatial_idx = −1) keeps the center window.
     """
     t, h, w, _ = frames.shape
     wc = canvas_width(short)
@@ -99,9 +122,19 @@ def fit_canvas_into(frames: np.ndarray, short: int,
     if frames.shape[1] > short:
         off = (frames.shape[1] - short) // 2
         frames = frames[:, off: off + short]
-    # crop horizontal extent to canvas width (centered)
+    # crop horizontal extent to canvas width, positioned per long_view
     if frames.shape[2] > wc:
-        off = (frames.shape[2] - wc) // 2
+        length = frames.shape[2]
+        if long_view == 0:
+            off = 0
+        elif long_view == 1:
+            off = (math.ceil((length - short) / 2)
+                   - math.ceil((wc - short) / 2))
+        elif long_view == 2:
+            off = length - wc
+        else:
+            off = (length - wc) // 2
+        off = min(max(off, 0), length - wc)
         frames = frames[:, :, off: off + wc]
     width = frames.shape[2]
     out[:, :, :width] = frames
@@ -111,19 +144,23 @@ def fit_canvas_into(frames: np.ndarray, short: int,
 
 
 def fit_canvas(frames: np.ndarray, short: int,
-               keep_portrait: bool = False) -> Tuple[np.ndarray, int, int]:
+               keep_portrait: bool = False,
+               long_view: int = -1) -> Tuple[np.ndarray, int, int]:
     """Resize so the short side == `short` and fit into (short, 2*short).
 
     Returns (canvas uint8 (T, short, 2*short, 3), true content width,
-    portrait flag). Content taller/wider than 2:1 is center-cropped along
-    its long axis. With ``keep_portrait`` tall videos are stored transposed
-    so the 3-position crop protocol covers top/center/bottom
-    (see fit_canvas_into); without it they are center-cropped square.
+    portrait flag). Content taller/wider than 2:1 is cropped along its long
+    axis to a 2:1 window positioned by ``long_view`` (test spatial index →
+    exact reference 3-position protocol; −1 → centered; see
+    fit_canvas_into). With ``keep_portrait`` tall videos are stored
+    transposed so the 3-position crop protocol covers top/center/bottom;
+    without it they are center-cropped square.
     """
     t = frames.shape[0]
     out = np.empty((t, short, canvas_width(short), 3), np.uint8)
     width, portrait = fit_canvas_into(frames, short, out,
-                                      keep_portrait=keep_portrait)
+                                      keep_portrait=keep_portrait,
+                                      long_view=long_view)
     return out, width, portrait
 
 
@@ -357,6 +394,9 @@ class ClipDataset:
             short_side=self._short_side(),
             random_clip=self.mode in ("train", "val"),
             multi_thread=cfg.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE,
+            # test mode keeps the full long axis (up to the cap) so the
+            # 3-position protocol can window it per view (TEST_DECODE_ASPECT)
+            max_aspect=TEST_DECODE_ASPECT if self.mode == "test" else 2.0,
         )
 
     # -- dataset protocol ------------------------------------------------
@@ -413,7 +453,8 @@ class ClipDataset:
     def __getitem__(self, index: int):
         frames, scalars = self._fetch(index)
         canvas, width, portrait = fit_canvas(
-            frames, self._short_side(), keep_portrait=True)
+            frames, self._short_side(), keep_portrait=True,
+            long_view=int(scalars["spatial_idx"]))
         return {"frames": canvas, "width": np.int32(width),
                 "portrait": np.int32(portrait), **scalars}
 
@@ -427,7 +468,8 @@ class ClipDataset:
         (one pass over the frame bytes instead of canvas-alloc + stack)."""
         frames, scalars = self._fetch(index)
         width, portrait = fit_canvas_into(
-            frames, self._short_side(), frames_out, keep_portrait=True)
+            frames, self._short_side(), frames_out, keep_portrait=True,
+            long_view=int(scalars["spatial_idx"]))
         return {"width": np.int32(width), "portrait": np.int32(portrait),
                 **scalars}
 

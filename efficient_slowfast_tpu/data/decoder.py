@@ -127,23 +127,33 @@ def get_lib() -> ctypes.CDLL:
 def decode_clip(path: str, num_frames: int, sampling_rate: float,
                 clip_idx: int, num_clips: int, target_fps: float,
                 short_side: int, random_clip: bool,
-                multi_thread: bool = False) -> Optional[np.ndarray]:
+                multi_thread: bool = False,
+                max_aspect: float = 2.0) -> Optional[np.ndarray]:
     """Decode one clip in NATURAL orientation, short side == short_side.
 
-    Landscape → uint8 (num_frames, short_side, W, 3), W ≤ 2·short.
-    Portrait  → uint8 (num_frames, H, short_side, 3), H ≤ 2·short — the C++
-    layer writes tall content transposed into the landscape canvas
+    Landscape → uint8 (num_frames, short_side, W, 3), W ≤ max_aspect·short.
+    Portrait  → uint8 (num_frames, H, short_side, 3), H ≤ max_aspect·short —
+    the C++ layer writes tall content transposed into the landscape canvas
     (esf_decode_clip2 keep_tall) and the axis swap back here is a zero-copy
     view, so the full vertical extent survives for the reference's
     3-position tall-video test protocol (transform.py:425-468; the canvas
     feeder re-transposes via fit_canvas keep_portrait).
 
+    ``max_aspect`` bounds the long axis of the decode buffer (content beyond
+    it is center-cropped by the C++ layer). The test loader raises it to
+    ``datasets.TEST_DECODE_ASPECT`` so >2:1 media (cinema ≈ 2.39:1) keeps
+    its full long axis for the per-view canvas windows; the 2:1 default
+    matches the train/val canvas exactly.
+
     Returns None on decode failure (caller retries per the reference's
     retry-with-replacement policy, kinetics.py:192-255).
     """
     lib = get_lib()
-    max_w = short_side * 2
-    out = np.zeros((num_frames, short_side, max_w, 3), np.uint8)
+    max_w = max(short_side * 2, int(round(short_side * max_aspect)))
+    # np.empty, not np.zeros: the C++ layer fills every row and zeroes the
+    # right-pad tail itself, so a Python-side zeroing pass (a full extra
+    # write of the buffer on the decode hot path) would be pure waste
+    out = np.empty((num_frames, short_side, max_w, 3), np.uint8)
     out_w = ctypes.c_int(0)
     out_portrait = ctypes.c_int(0)
     rnd = random.random() if random_clip else 0.0

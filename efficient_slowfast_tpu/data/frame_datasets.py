@@ -123,7 +123,8 @@ class _FrameListDataset:
     def _sample(self, frames: np.ndarray, index: int, label,
                 spatial_idx: int, temporal_idx: int) -> Dict[str, np.ndarray]:
         canvas, width, portrait = fit_canvas(
-            frames, self._short_side(), keep_portrait=True)
+            frames, self._short_side(), keep_portrait=True,
+            long_view=int(spatial_idx))
         return {
             "frames": canvas,
             "width": np.int32(width),

@@ -241,3 +241,95 @@ def test_portrait_train_preprocess_flips_content_horizontally():
     for v in seen.values():
         col_var = v.mean(axis=(0, 3)).var(axis=0).max()
         assert col_var < 1e-4, "flip disturbed the vertical axis"
+
+def _three_views(cfg, canvas, width, portrait):
+    from efficient_slowfast_tpu.data.preprocess import make_test_preprocess
+
+    pre = make_test_preprocess(cfg)
+    views = []
+    for sidx in (0, 1, 2):
+        out = pre(jnp.asarray(canvas)[None],
+                  jnp.asarray([width], jnp.int32),
+                  jnp.asarray([sidx], jnp.int32),
+                  jnp.asarray([portrait], jnp.int32))
+        views.append(np.asarray(out[1][0]))  # fast pathway, full frames
+    return views
+
+
+def test_cinema_wide_three_position_crop_matches_reference():
+    """Content WIDER than the 2:1 canvas (cinema ≈ 2.39:1 and beyond) must
+    still produce the reference's exact 3-position left/center/right views
+    over the FULL long axis (transform.py:425-468), not views collapsed into
+    a center 2:1 window: fit_canvas(long_view=k) slides the canvas window so
+    the device crop lands on the reference pixels (VERDICT r3 — the last
+    aspect-ratio stretch of the 30-view protocol)."""
+    from efficient_slowfast_tpu.data.datasets import fit_canvas
+
+    cfg = get_cfg()
+    crop = 16
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.DATA.TEST_CROP_SIZE = crop
+    cfg.DATA.MEAN = [0.0, 0.0, 0.0]
+    cfg.DATA.STD = [1.0, 1.0, 1.0]
+
+    # ~3:1 source, short side already == crop (as the decoder delivers at
+    # TEST_DECODE_ASPECT), odd long-axis slack to exercise the ceil
+    h_src, w_src = crop, 3 * crop + 1
+    rs = np.random.RandomState(11)
+    frames = rs.randint(0, 255, (4, h_src, w_src, 3), np.uint8)
+
+    ref = frames.astype(np.float32) / 255.0
+    offs = [0, int(np.ceil((w_src - crop) / 2)), w_src - crop]
+
+    for sidx, ox in zip((0, 1, 2), offs):
+        canvas, width, portrait = fit_canvas(
+            frames, crop, keep_portrait=True, long_view=sidx)
+        assert portrait == 0
+        assert width == 2 * crop  # window fills the canvas
+        view = _three_views(cfg, canvas, width, portrait)[sidx]
+        np.testing.assert_allclose(
+            view, ref[:, :, ox:ox + crop, :], atol=1e-5,
+            err_msg=f"wide crop at x={ox}")
+
+    # the views span the full width: view 0 contains the leftmost source
+    # column and view 2 the rightmost (impossible under a center 2:1 cap)
+    v0 = _three_views(cfg, fit_canvas(frames, crop, keep_portrait=True,
+                                      long_view=0)[0], 2 * crop, 0)[0]
+    np.testing.assert_allclose(v0[:, :, 0, :], ref[:, :, 0, :], atol=1e-5)
+    v2 = _three_views(cfg, fit_canvas(frames, crop, keep_portrait=True,
+                                      long_view=2)[0], 2 * crop, 0)[2]
+    np.testing.assert_allclose(v2[:, :, -1, :], ref[:, :, -1, :], atol=1e-5)
+
+
+def test_extreme_portrait_three_position_crop_matches_reference():
+    """Portrait content TALLER than the 2:1 canvas rides transposed AND
+    windowed: the composed transpose + per-view window + device crop +
+    transpose-back must land on the reference's top/center/bottom pixels
+    of the full vertical extent (transform.py:447-460)."""
+    from efficient_slowfast_tpu.data.datasets import fit_canvas
+
+    cfg = get_cfg()
+    crop = 16
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.DATA.TEST_CROP_SIZE = crop
+    cfg.DATA.MEAN = [0.0, 0.0, 0.0]
+    cfg.DATA.STD = [1.0, 1.0, 1.0]
+
+    h_src, w_src = 3 * crop + 1, crop
+    rs = np.random.RandomState(13)
+    frames = rs.randint(0, 255, (4, h_src, w_src, 3), np.uint8)
+
+    ref = frames.astype(np.float32) / 255.0
+    offs = [0, int(np.ceil((h_src - crop) / 2)), h_src - crop]
+
+    for sidx, oy in zip((0, 1, 2), offs):
+        canvas, width, portrait = fit_canvas(
+            frames, crop, keep_portrait=True, long_view=sidx)
+        assert portrait == 1
+        assert width == 2 * crop
+        view = _three_views(cfg, canvas, width, portrait)[sidx]
+        np.testing.assert_allclose(
+            view, ref[:, oy:oy + crop, :, :], atol=1e-5,
+            err_msg=f"extreme portrait crop at y={oy}")

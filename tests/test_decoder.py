@@ -232,3 +232,75 @@ def test_decode_portrait_beyond_2to1_center_crops(tmp_path):
     red = clip[0, :, :, 0].mean()
     full = float(np.linspace(0, 250, h).mean())
     assert abs(red - full) < 12.0
+
+
+def test_decode_max_aspect_keeps_wide_extent(tmp_path):
+    """``max_aspect`` widens the decode buffer so >2:1 content keeps its
+    full long axis for the test protocol's per-view canvas windows
+    (datasets.TEST_DECODE_ASPECT; default 2.0 center-crops as before)."""
+    path = str(tmp_path / "cinema.mp4")
+    n, h, w = 20, 100, 300  # 3:1 "cinemascope"
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    frames[:, :, :, 0] = np.linspace(0, 250, w).astype(np.uint8)[None, None, :]
+    decoder.write_test_video(path, frames, fps=30)
+    short = 50
+
+    wide = decoder.decode_clip(path, num_frames=4, sampling_rate=2,
+                               clip_idx=0, num_clips=2, target_fps=30,
+                               short_side=short, random_clip=False,
+                               max_aspect=4.0)
+    assert wide.shape[1:] == (short, 150, 3), wide.shape  # full 3:1 extent
+    # the horizontal gradient spans its full range (nothing cropped away)
+    red_cols = wide[0, :, :, 0].mean(axis=0)
+    assert red_cols[0] < 15.0 and red_cols[-1] > 235.0
+
+    capped = decoder.decode_clip(path, num_frames=4, sampling_rate=2,
+                                 clip_idx=0, num_clips=2, target_fps=30,
+                                 short_side=short, random_clip=False)
+    assert capped.shape[1:] == (short, 100, 3), capped.shape
+    # default is the old centered 2:1 window of the same content
+    np.testing.assert_array_equal(capped[..., 0], wide[:, :, 25:125, 0])
+
+
+def test_kinetics_test_views_window_wide_content(tmp_path):
+    """E2E: the test loader's 3 spatial items of a >2:1 video carry
+    per-view canvas windows spanning the full long axis (left view holds
+    the leftmost source columns, right view the rightmost), composing
+    decode max_aspect → fit_canvas long_view (reference 30-view protocol,
+    transform.py:425-468)."""
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    path = str(tmp_path / "cinema.mp4")
+    n, h, w = 20, 100, 300  # 3:1
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    frames[:, :, :, 0] = np.linspace(0, 250, w).astype(np.uint8)[None, None, :]
+    decoder.write_test_video(path, frames, fps=30)
+
+    ddir = tmp_path / "k400"
+    ddir.mkdir()
+    (ddir / "test.csv").write_text(f"{path} 0\n")
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(ddir)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 50
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    cfg.MODEL.NUM_CLASSES = 10
+    ds = build_dataset("kinetics", cfg, "test")
+
+    views = [ds[k] for k in (0, 1, 2)]  # temporal view 0, spatial 0/1/2
+    for k, item in enumerate(views):
+        assert item["spatial_idx"] == k
+        assert item["width"] == 100  # window fills the 2:1 canvas
+    red = [v["frames"][0, :, :, 0].astype(np.float32) for v in views]
+    # left view starts at the dark (left) edge, right view ends bright
+    assert red[0][:, 0].mean() < 15.0
+    assert red[2][:, -1].mean() > 235.0
+    # center view sits between and all three windows are distinct
+    assert red[0].mean() < red[1].mean() < red[2].mean()
+    # windows overlap-consistently: view1 is view0 shifted by 25 source cols
+    # (L=150, window starts 0/25/50 at short=50, wc=100)
+    np.testing.assert_array_equal(red[0][:, 25:], red[1][:, :75])
+    np.testing.assert_array_equal(red[1][:, 25:], red[2][:, :75])
