@@ -80,7 +80,8 @@ def temporal_sample_np(frames: np.ndarray, start_idx, end_idx, num_samples):
 
 def fit_canvas_into(frames: np.ndarray, short: int,
                     out: np.ndarray, keep_portrait: bool = False,
-                    long_view: int = -1):
+                    long_view: int = -1,
+                    window_u: Optional[float] = None):
     """``fit_canvas`` writing directly into a preallocated canvas slot.
 
     Used by the loader's preallocated-batch fast path: workers paste their
@@ -103,7 +104,15 @@ def fit_canvas_into(frames: np.ndarray, short: int,
     the device crop then lands at 0 / ceil((wc-S)/2) / wc-S of the window
     (preprocess.uniform_crop_boxes), so window start = reference position −
     device position makes the composition EXACT per view k ∈ {0, 1, 2}.
-    Any other value (train/val's spatial_idx = −1) keeps the center window.
+
+    ``window_u`` (train/val, long_view = −1): the host's uniform draw
+    u ∈ [0, 1] for the random-crop long-axis position. The window starts at
+    ``round(u·(L−wc))`` and the device crop — fed the SAME u
+    (transform.random_scale_crop_boxes u_x) — lands at ``u·(wc−win)``
+    inside it, composing to ``u·(L−win)``: a uniform sample over the FULL
+    resized long axis, matching the reference's random_crop range
+    (slowfast/datasets/transform.py:359-392) for >2:1 media. Without it
+    (or with long_view ∉ {0,1,2}) the center window is kept.
     """
     t, h, w, _ = frames.shape
     wc = canvas_width(short)
@@ -132,6 +141,8 @@ def fit_canvas_into(frames: np.ndarray, short: int,
                    - math.ceil((wc - short) / 2))
         elif long_view == 2:
             off = length - wc
+        elif window_u is not None:
+            off = int(round(window_u * (length - wc)))
         else:
             off = (length - wc) // 2
         off = min(max(off, 0), length - wc)
@@ -145,7 +156,8 @@ def fit_canvas_into(frames: np.ndarray, short: int,
 
 def fit_canvas(frames: np.ndarray, short: int,
                keep_portrait: bool = False,
-               long_view: int = -1) -> Tuple[np.ndarray, int, int]:
+               long_view: int = -1,
+               window_u: Optional[float] = None) -> Tuple[np.ndarray, int, int]:
     """Resize so the short side == `short` and fit into (short, 2*short).
 
     Returns (canvas uint8 (T, short, 2*short, 3), true content width,
@@ -160,7 +172,8 @@ def fit_canvas(frames: np.ndarray, short: int,
     out = np.empty((t, short, canvas_width(short), 3), np.uint8)
     width, portrait = fit_canvas_into(frames, short, out,
                                       keep_portrait=keep_portrait,
-                                      long_view=long_view)
+                                      long_view=long_view,
+                                      window_u=window_u)
     return out, width, portrait
 
 
@@ -190,18 +203,29 @@ class _DecodeMemo:
     the same (path, temporal_idx) block on a single in-flight decode
     (future semantics), cutting test-mode host decode bytes by 3× with
     bit-identical results. Failed decodes (None) are never cached so the
-    caller's retry loop really re-attempts. LRU-bounded; cached arrays are
-    marked read-only (every consumer pastes into its own canvas).
+    caller's retry loop really re-attempts. LRU-bounded by entry count AND
+    by resident bytes (wide 4:1 test buffers at T=32 reach ~25 MB each —
+    an entry-only bound would let host RAM scale with content aspect);
+    cached arrays are marked read-only (every consumer pastes into its own
+    canvas).
     """
 
-    def __init__(self, capacity: int = 8):
+    def __init__(self, capacity: int = 8, max_bytes: int = 192 << 20):
         import collections
         import threading
 
         self._cap = capacity
+        self._max_bytes = max_bytes
         self._lock = threading.Lock()
         self._entries: "collections.OrderedDict" = collections.OrderedDict()
         self._event_cls = threading.Event
+
+    def _over_budget(self) -> bool:
+        if len(self._entries) > self._cap:
+            return True
+        total = sum(e[1].nbytes for e in self._entries.values()
+                    if e[0].is_set() and e[1] is not None)
+        return total > self._max_bytes
 
     def get_or_compute(self, key, fn):
         with self._lock:
@@ -210,10 +234,11 @@ class _DecodeMemo:
             if owner:
                 ent = [self._event_cls(), None]
                 self._entries[key] = ent
-                # evict oldest COMPLETED entries beyond capacity (an
-                # in-flight decode keeps its slot so waiters stay attached)
+                # evict oldest COMPLETED entries beyond the entry/byte
+                # budget (an in-flight decode keeps its slot so waiters
+                # stay attached)
                 for old_key in list(self._entries):
-                    if len(self._entries) <= self._cap:
+                    if not self._over_budget():
                         break
                     if old_key != key and self._entries[old_key][0].is_set():
                         del self._entries[old_key]
@@ -265,6 +290,9 @@ class ClipDataset:
         self._decoder = None
         # multi-view test: one decode serves all NUM_SPATIAL_CROPS crops
         self._test_decode_memo = _DecodeMemo() if mode == "test" else None
+        # path → exact long-axis extent at this mode's short side (decode
+        # buffers sized from it after the first visit; see _decode_clip)
+        self._decode_width_cache: dict = {}
 
     # -- path list -------------------------------------------------------
     #: fork-style fallback list names; test aliases to val
@@ -384,7 +412,12 @@ class ClipDataset:
             return blended[off:off + num_frames]
         from .decoder import decode_clip  # native backend
 
-        return decode_clip(
+        # a file's aspect is constant: after the first decode of a path the
+        # exact long-axis extent is known, so later decodes (next epochs,
+        # the other 29 test views) allocate an exact buffer instead of the
+        # worst-case 4:1 cap (~2.2× smaller at 16:9)
+        hint = self._decode_width_cache.get(path)
+        frames = decode_clip(
             path,
             num_frames=num_frames,
             sampling_rate=sampling,
@@ -394,10 +427,18 @@ class ClipDataset:
             short_side=self._short_side(),
             random_clip=self.mode in ("train", "val"),
             multi_thread=cfg.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE,
-            # test mode keeps the full long axis (up to the cap) so the
-            # 3-position protocol can window it per view (TEST_DECODE_ASPECT)
-            max_aspect=TEST_DECODE_ASPECT if self.mode == "test" else 2.0,
+            # every mode keeps the full long axis (up to the cap): test
+            # windows it per view (3-position protocol), train/val sample
+            # the window position so the random crop spans the full axis
+            # (reference transform.py:359-392; see fit_canvas_into window_u)
+            max_aspect=TEST_DECODE_ASPECT,
+            width_hint=hint,
         )
+        if (frames is not None and hint is None
+                and len(self._decode_width_cache) < 1_000_000):
+            self._decode_width_cache[path] = max(frames.shape[1],
+                                                 frames.shape[2])
+        return frames
 
     # -- dataset protocol ------------------------------------------------
     def __len__(self):
@@ -448,13 +489,21 @@ class ClipDataset:
             "spatial_idx": np.int32(spatial_idx),
             "temporal_idx": np.int32(temporal_idx),
         }
+        if self.mode in ("train", "val"):
+            # the long-axis position of the random crop: shared between the
+            # host canvas window and the device crop box so the composition
+            # is uniform over the FULL resized long axis (fit_canvas_into
+            # window_u / transform.random_scale_crop_boxes u_x)
+            scalars["crop_u"] = np.float32(random.random())
         return frames, scalars
 
     def __getitem__(self, index: int):
         frames, scalars = self._fetch(index)
         canvas, width, portrait = fit_canvas(
             frames, self._short_side(), keep_portrait=True,
-            long_view=int(scalars["spatial_idx"]))
+            long_view=int(scalars["spatial_idx"]),
+            window_u=(float(scalars["crop_u"])
+                      if "crop_u" in scalars else None))
         return {"frames": canvas, "width": np.int32(width),
                 "portrait": np.int32(portrait), **scalars}
 
@@ -469,7 +518,9 @@ class ClipDataset:
         frames, scalars = self._fetch(index)
         width, portrait = fit_canvas_into(
             frames, self._short_side(), frames_out, keep_portrait=True,
-            long_view=int(scalars["spatial_idx"]))
+            long_view=int(scalars["spatial_idx"]),
+            window_u=(float(scalars["crop_u"])
+                      if "crop_u" in scalars else None))
         return {"width": np.int32(width), "portrait": np.int32(portrait),
                 **scalars}
 

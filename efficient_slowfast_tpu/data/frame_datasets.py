@@ -122,10 +122,14 @@ class _FrameListDataset:
 
     def _sample(self, frames: np.ndarray, index: int, label,
                 spatial_idx: int, temporal_idx: int) -> Dict[str, np.ndarray]:
+        # train/val: host-sampled long-axis crop position, shared with the
+        # device crop so it spans the full resized long axis on >2:1 media
+        # (see datasets.fit_canvas_into window_u)
+        crop_u = (random.random() if self.mode in ("train", "val") else None)
         canvas, width, portrait = fit_canvas(
             frames, self._short_side(), keep_portrait=True,
-            long_view=int(spatial_idx))
-        return {
+            long_view=int(spatial_idx), window_u=crop_u)
+        out = {
             "frames": canvas,
             "width": np.int32(width),
             "portrait": np.int32(portrait),
@@ -135,6 +139,9 @@ class _FrameListDataset:
             "spatial_idx": np.int32(spatial_idx),
             "temporal_idx": np.int32(temporal_idx),
         }
+        if crop_u is not None:
+            out["crop_u"] = np.float32(crop_u)
+        return out
 
 
 @DATASET_REGISTRY.register()

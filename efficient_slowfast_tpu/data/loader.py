@@ -306,7 +306,8 @@ def shuffle_dataset(loader: ClipLoader, cur_epoch: int):
 
 
 def prefetch_to_device(loader, mesh,
-                       keys=("frames", "width", "label", "portrait"),
+                       keys=("frames", "width", "label", "portrait",
+                             "crop_u"),
                        depth: int = 2, host_copy=()):
     """Iterate `loader`, device_put-ing the next batches ahead of consumption.
 

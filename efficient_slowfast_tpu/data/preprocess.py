@@ -36,7 +36,7 @@ def make_train_preprocess(cfg, crop_size=None):
     jitter = tuple(cfg.DATA.TRAIN_COLOR_JITTER)
 
     @jax.jit
-    def pre(rng, frames, widths, portrait=None):
+    def pre(rng, frames, widths, portrait=None, crop_u=None):
         b = frames.shape[0]
         h = frames.shape[2]
         k_box, k_flip, k_jit = jax.random.split(rng, 3)
@@ -47,8 +47,13 @@ def make_train_preprocess(cfg, crop_size=None):
             x = T.color_normalization(x, mean, std)
         else:
             x = T.tensor_normalize(frames, mean, std)
+        # crop_u: host-sampled long-axis position shared with the canvas
+        # window (datasets.fit_canvas_into window_u) so the composed crop
+        # spans the FULL resized long axis on >2:1 media (reference
+        # transform.py:359-392 samples over the full width)
         boxes = T.random_scale_crop_boxes(
-            k_box, b, h, widths, min_s, max_s, crop, inverse_uniform=inv
+            k_box, b, h, widths, min_s, max_s, crop, inverse_uniform=inv,
+            u_x=crop_u,
         )
         x = T.crop_and_resize(x, boxes, crop)
         if portrait is not None:

@@ -18,6 +18,8 @@ Frames are channels-last uint8/float (B, T, H, W, C).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -89,6 +91,7 @@ def random_scale_crop_boxes(
     max_scale: int,
     crop_size: int,
     inverse_uniform: bool = False,
+    u_x: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample per-clip boxes equivalent to scale-jitter + random crop.
 
@@ -97,6 +100,14 @@ def random_scale_crop_boxes(
     Equivalently we crop a window of source size crop_size * (short/s) at a
     uniform position, and resize it to crop_size. `widths` gives each clip's
     true (unpadded) width; `height` is the canvas short side.
+
+    ``u_x`` (per-clip in [0, 1]) replaces the device-sampled horizontal
+    position with a HOST-chosen one. For content whose long axis exceeds the
+    2:1 canvas, the host positions its canvas window at ``round(u·(L−wc))``
+    and passes the same ``u`` here (datasets.fit_canvas_into window_u); the
+    composed offset ``u·(L−wc) + u·(wc−win) = u·(L−win)`` is then uniform
+    over the FULL resized long axis, exactly the reference's range
+    (transform.py:359-392) — not just the window the device can see.
     """
     k1, k2, k3 = jax.random.split(rng, 3)
     if inverse_uniform:
@@ -113,7 +124,9 @@ def random_scale_crop_boxes(
     wmax_y = jnp.float32(height) - win
     wmax_x = widths.astype(jnp.float32) - win
     oy = jax.random.uniform(k2, (batch,)) * jnp.maximum(wmax_y, 0.0)
-    ox = jax.random.uniform(k3, (batch,)) * jnp.maximum(wmax_x, 0.0)
+    fx = jax.random.uniform(k3, (batch,)) if u_x is None \
+        else u_x.astype(jnp.float32)
+    ox = fx * jnp.maximum(wmax_x, 0.0)
     return jnp.stack([oy, ox, oy + win, ox + win], axis=1)
 
 

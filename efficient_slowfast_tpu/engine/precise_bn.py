@@ -47,8 +47,10 @@ def calculate_and_update_precise_bn(cfg, state, model, loader, preprocess,
         widths = shard_batch(mesh, batch["width"])
         portrait = (shard_batch(mesh, batch["portrait"])
                     if "portrait" in batch else None)
+        crop_u = (shard_batch(mesh, batch["crop_u"])
+                  if "crop_u" in batch else None)
         key = jax.random.fold_in(rng, i)
-        inputs = preprocess(key, frames, widths, portrait)
+        inputs = preprocess(key, frames, widths, portrait, crop_u)
         bstats = batch_stats_of(state.params, state.batch_stats, inputs, key)
         total = bstats if total is None else jax.tree_util.tree_map(
             jnp.add, total, bstats

@@ -80,11 +80,12 @@ def train_epoch(cfg, state, train_step, preprocess, loader, meter, cur_epoch,
         frames, widths, labels = batch["frames"], batch["width"], batch["label"]
         key = jax.random.fold_in(rng, cur_epoch * data_size + cur_iter)
         portrait = batch.get("portrait")
+        crop_u = batch.get("crop_u")
         if short_cycle_pre is not None and "_phase" in batch:
             inputs = short_cycle_pre[int(batch["_phase"])](
-                key, frames, widths, portrait)
+                key, frames, widths, portrait, crop_u)
         else:
-            inputs = preprocess(key, frames, widths, portrait)
+            inputs = preprocess(key, frames, widths, portrait, crop_u)
         state, mets = train_step(state, inputs, labels, lr, rng)
         pending.append((cur_iter, labels.shape[0], mets))
         if len(pending) >= cfg.TPU.METRICS_PERIOD or cur_iter == data_size - 1:
@@ -138,7 +139,8 @@ def eval_epoch(cfg, state, eval_step, preprocess, loader, meter, cur_epoch,
         frames, widths, labels = batch["frames"], batch["width"], batch["label"]
         valid = batch.get("_valid")  # host-local mask (loader pad_to_full)
         key = jax.random.fold_in(rng, cur_iter)
-        inputs = preprocess(key, frames, widths, batch.get("portrait"))
+        inputs = preprocess(key, frames, widths, batch.get("portrait"),
+                            batch.get("crop_u"))
         out = eval_step(state, inputs, labels,
                         None if valid is None else shard_batch(mesh, valid))
         # preds are batch-sharded over all hosts — fetch scalars only;
