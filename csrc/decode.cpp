@@ -238,6 +238,16 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
     }
     *out_width = crop_w;
 
+    // Contract with the Python side (data/decoder.py uses np.empty): on
+    // success EVERY byte of the buffer is written — crop_h content rows
+    // spanning all short_side rows, plus per-row zeroed column tails. If a
+    // future geometry change breaks that (crop_h < short_side), fail loudly
+    // here instead of leaking uninitialized heap into model inputs.
+    if (crop_h != short_side || crop_w > max_width) {
+        for (auto& f : window) av_frame_free(&f.frame);
+        return -13;
+    }
+
     SwsContext* sws = sws_getContext(
         in_w, in_h, ctx.dec->pix_fmt, new_w, new_h, AV_PIX_FMT_RGB24,
         SWS_BILINEAR, nullptr, nullptr, nullptr);

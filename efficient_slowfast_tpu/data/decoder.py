@@ -128,7 +128,8 @@ def decode_clip(path: str, num_frames: int, sampling_rate: float,
                 clip_idx: int, num_clips: int, target_fps: float,
                 short_side: int, random_clip: bool,
                 multi_thread: bool = False,
-                max_aspect: float = 2.0) -> Optional[np.ndarray]:
+                max_aspect: float = 2.0,
+                width_hint: Optional[int] = None) -> Optional[np.ndarray]:
     """Decode one clip in NATURAL orientation, short side == short_side.
 
     Landscape → uint8 (num_frames, short_side, W, 3), W ≤ max_aspect·short.
@@ -140,16 +141,25 @@ def decode_clip(path: str, num_frames: int, sampling_rate: float,
     feeder re-transposes via fit_canvas keep_portrait).
 
     ``max_aspect`` bounds the long axis of the decode buffer (content beyond
-    it is center-cropped by the C++ layer). The test loader raises it to
+    it is center-cropped by the C++ layer). The clip loaders raise it to
     ``datasets.TEST_DECODE_ASPECT`` so >2:1 media (cinema ≈ 2.39:1) keeps
-    its full long axis for the per-view canvas windows; the 2:1 default
-    matches the train/val canvas exactly.
+    its full long axis for the per-view canvas windows (test) / the
+    full-width random crop (train).
+
+    ``width_hint``: the EXACT long-axis extent this path produced at this
+    ``short_side`` on a previous decode (a file's aspect is constant), used
+    to size the buffer instead of the worst-case ``max_aspect`` cap — at
+    16:9 that roughly halves the per-decode allocation vs a 4:1 buffer.
+    Only ever pass a value observed from the same (path, short_side); a
+    too-small hint would center-crop content.
 
     Returns None on decode failure (caller retries per the reference's
     retry-with-replacement policy, kinetics.py:192-255).
     """
     lib = get_lib()
     max_w = max(short_side * 2, int(round(short_side * max_aspect)))
+    if width_hint is not None:
+        max_w = min(max_w, max(int(width_hint), 1))
     # np.empty, not np.zeros: the C++ layer fills every row and zeroes the
     # right-pad tail itself, so a Python-side zeroing pass (a full extra
     # write of the buffer on the decode hot path) would be pure waste
