@@ -10,20 +10,12 @@
    invisible to transcription-only tests).
 """
 
-import ctypes
-import os
-import subprocess
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from efficient_slowfast_tpu.ops.roi_align import roi_align
-
-REFERENCE_CPP = (
-    "/root/reference/config_slowfast/detectron2/detectron2/layers/csrc/"
-    "ROIAlign/ROIAlign_cpu.cpp"
-)
+from tests.roialign_oracle import build_reference_roialign, reference_available
 
 
 def np_roi_align(feat, boxes, out, scale, n=2, aligned=True):
@@ -77,39 +69,9 @@ def np_roi_align(feat, boxes, out, scale, n=2, aligned=True):
 @pytest.fixture(scope="module")
 def reference_kernel(tmp_path_factory):
     """Compile the reference's ROIAlign_cpu.cpp (verbatim) + ctypes shim."""
-    if not os.path.exists(REFERENCE_CPP):
+    if not reference_available():
         pytest.skip("reference ROIAlign_cpu.cpp not available")
-    here = os.path.dirname(os.path.abspath(__file__))
-    build = tmp_path_factory.mktemp("roialign_ref")
-    so = str(build / "libroialign_ref.so")
-    subprocess.run(
-        ["g++", "-O2", "-fPIC", "-std=c++17", "-shared",
-         "-I", os.path.join(here, "roialign_ref", "include"),
-         REFERENCE_CPP, os.path.join(here, "roialign_ref", "shim.cpp"),
-         "-o", so],
-        check=True, capture_output=True)
-    lib = ctypes.CDLL(so)
-    lib.ref_roialign_forward.restype = ctypes.c_int
-
-    def run(feat_bhwc, rois, out_size, scale, sampling_ratio, aligned):
-        """Drive the compiled reference kernel; returns (R, out, out, C)."""
-        feat_nchw = np.ascontiguousarray(
-            feat_bhwc.transpose(0, 3, 1, 2), np.float32)
-        rois = np.ascontiguousarray(rois, np.float32)
-        n, c, h, w = feat_nchw.shape
-        r = len(rois)
-        o = np.empty((r, c, out_size, out_size), np.float32)
-        rc = lib.ref_roialign_forward(
-            feat_nchw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            n, c, h, w,
-            rois.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), r,
-            ctypes.c_float(scale), out_size, out_size,
-            int(sampling_ratio), int(bool(aligned)),
-            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-        assert rc == 0
-        return o.transpose(0, 2, 3, 1)
-
-    return run
+    return build_reference_roialign(tmp_path_factory.mktemp("roialign_ref"))
 
 
 def _domain_boxes(rs, batch, crop, n_random=24):

@@ -202,6 +202,75 @@ class TorchSlowFast(nn.Module):
         return self.head(x)
 
 
+class TorchRoIHead(nn.Module):
+    """Detection RoI head (reference head_helper.py:11-130): per-pathway
+    temporal avg-pool (squeeze T) → ROIAlign → spatial max-pool → channel
+    concat → dropout → linear → activation (applied in train AND eval,
+    :126-129). ``roialign`` is injected — the pipeline-parity harness passes
+    the reference's OWN compiled ROIAlign_cpu.cpp (tests/roialign_oracle.py),
+    so this golden head shares no ROIAlign code with the jax kernel."""
+
+    def __init__(self, dims_in, num_classes, roialign, resolution=7,
+                 scale_factor=16, aligned=True, dropout=0.0):
+        super().__init__()
+        self.roialign = roialign
+        self.resolution = resolution
+        self.scale_factor = scale_factor
+        self.aligned = aligned
+        if dropout > 0.0:
+            self.dropout = nn.Dropout(dropout)
+        self.projection = nn.Linear(sum(dims_in), num_classes, bias=True)
+        self.act = nn.Sigmoid()
+
+    def forward(self, x, bboxes):
+        pooled = []
+        for xi in x:
+            feat = xi.mean(dim=2)  # NCTHW → NCHW (temporal avg over full T)
+            roi = self.roialign(
+                feat.detach().numpy().transpose(0, 2, 3, 1),
+                np.asarray(bboxes, np.float32), self.resolution,
+                1.0 / self.scale_factor, 0, self.aligned)  # (R, out, out, C)
+            roi = torch.from_numpy(
+                np.ascontiguousarray(roi.transpose(0, 3, 1, 2)))
+            pooled.append(roi.amax(dim=(2, 3)))           # (R, C)
+        h = torch.cat(pooled, 1)
+        if hasattr(self, "dropout"):
+            h = self.dropout(h)
+        h = self.projection(h)
+        return self.act(h).view(h.shape[0], -1)
+
+
+class TorchSlowFastDetection(TorchSlowFast):
+    """TorchSlowFast trunk + RoI detection head (AVA); forward takes
+    (pathways, bboxes(R,5) [batch_idx, x1, y1, x2, y2] in input pixels)."""
+
+    def __init__(self, roialign, num_classes=80, width=8, alpha=4,
+                 beta_inv=8, fusion_ratio=2, fusion_kernel=5, num_frames=8,
+                 crop=32, depths=(2, 2, 2, 2), resolution=7,
+                 scale_factor=16, aligned=True):
+        super().__init__(num_classes=num_classes, width=width, alpha=alpha,
+                         beta_inv=beta_inv, fusion_ratio=fusion_ratio,
+                         fusion_kernel=fusion_kernel, num_frames=num_frames,
+                         crop=crop, depths=depths)
+        w, beta = width, beta_inv
+        self.head = TorchRoIHead(
+            [w * 32, w * 32 // beta], num_classes, roialign,
+            resolution=resolution, scale_factor=scale_factor,
+            aligned=aligned)
+
+    def forward(self, x, bboxes):
+        x = self.s1([t for t in x])
+        x = self.s1_fuse(x)
+        x = self.s2(x)
+        x = self.s2_fuse(x)
+        x = self.s3(x)
+        x = self.s3_fuse(x)
+        x = self.s4(x)
+        x = self.s4_fuse(x)
+        x = self.s5(x)
+        return self.head(x, bboxes)
+
+
 # ---------------------------------------------------------------------------
 # CMDA (SlowFastDualAttention)
 # ---------------------------------------------------------------------------
