@@ -2,6 +2,7 @@
 
 import os
 import numpy as np
+import pytest
 
 from efficient_slowfast_tpu.config import get_cfg
 from efficient_slowfast_tpu.utils.multigrid import (
@@ -104,6 +105,7 @@ def test_short_cycle_loader_phases():
     assert sizes[0] == expected[0] and sizes[2] == expected[2]
 
 
+@pytest.mark.slow
 def test_long_cycle_sub_bn_phase_end_to_end(tmp_path):
     """Cross a bs_factor>1 long-cycle phase for real (VERDICT r2 #1): the
     big-batch phase must actually TRAIN with SubBatchNorm3d split stats —
@@ -222,6 +224,7 @@ def test_long_cycle_sub_bn_phase_end_to_end(tmp_path):
     assert find_subtrees(nstats, {"mean", "var"})
 
 
+@pytest.mark.slow
 def test_long_cycle_end_to_end_through_shape_change(tmp_path):
     """Train through ≥2 long-cycle phases on synthetic data: loader rebuild +
     step recompile at the phase boundary, STEPS/LRS/MAX_EPOCH rewrite and the

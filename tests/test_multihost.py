@@ -21,6 +21,9 @@ import sys
 
 import pytest
 
+# real 2-process gloo jobs, ~5-11 min on this host (CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 
