@@ -125,6 +125,75 @@ int decode_window(DecodeCtx* ctx, int64_t start_pts, int64_t end_pts,
     return out->empty() ? -1 : 0;
 }
 
+// Output geometry shared by esf_decode_clip2 and esf_decode_views: short
+// side == short_side, preserve aspect, center-crop the long side to the
+// canvas limits; portrait content optionally written transposed (keep_tall).
+struct OutGeom {
+    int new_w = 0, new_h = 0;   // swscale target size
+    int portrait = 0;
+    int crop_w = 0, crop_h = 0; // canvas content extent (crop_h == short)
+    int x_off = 0, y_off = 0;   // crop origin within the scaled frame
+};
+
+OutGeom compute_geom(int in_w, int in_h, int short_side, int max_width,
+                     int keep_tall) {
+    OutGeom g;
+    if (in_h <= in_w) {
+        g.new_h = short_side;
+        g.new_w = std::max(short_side,
+                           int(std::lround(double(in_w) * short_side / in_h)));
+    } else {
+        g.new_w = short_side;
+        g.new_h = int(std::lround(double(in_h) * short_side / in_w));
+    }
+    g.portrait = (keep_tall && in_h > in_w && g.new_h > short_side) ? 1 : 0;
+    if (g.portrait) {
+        // transposed write: canvas rows = source columns (== short_side),
+        // canvas cols = source rows (vertical extent, center-cropped)
+        g.crop_h = g.new_w;                       // == short_side
+        g.crop_w = std::min(g.new_h, max_width);  // source vertical extent
+        g.x_off = 0;
+        g.y_off = (g.new_h - g.crop_w) / 2;
+    } else {
+        g.crop_w = std::min(g.new_w, max_width);
+        g.crop_h = std::min(g.new_h, short_side);
+        g.x_off = (g.new_w - g.crop_w) / 2;
+        g.y_off = (g.new_h - g.crop_h) / 2;
+    }
+    return g;
+}
+
+// Write one scaled RGB frame into its canvas slot (content + zeroed column
+// tail; every row of the slot is written — the np.empty contract).
+void write_canvas_frame(const uint8_t* rgb, const OutGeom& g, int max_width,
+                        uint8_t* dst) {
+    size_t row_bytes = size_t(max_width) * 3;
+    size_t pad_bytes = size_t(max_width - g.crop_w) * 3;
+    if (g.portrait) {
+        for (int x = 0; x < g.crop_h; ++x) {
+            uint8_t* orow = dst + size_t(x) * row_bytes;
+            for (int y = 0; y < g.crop_w; ++y) {
+                const uint8_t* p =
+                    rgb + (size_t(y + g.y_off) * g.new_w + x) * 3;
+                orow[size_t(y) * 3 + 0] = p[0];
+                orow[size_t(y) * 3 + 1] = p[1];
+                orow[size_t(y) * 3 + 2] = p[2];
+            }
+            if (pad_bytes)
+                std::memset(orow + size_t(g.crop_w) * 3, 0, pad_bytes);
+        }
+    } else {
+        for (int y = 0; y < g.crop_h; ++y) {
+            uint8_t* orow = dst + size_t(y) * row_bytes;
+            const uint8_t* src =
+                rgb + (size_t(y + g.y_off) * g.new_w + g.x_off) * 3;
+            std::memcpy(orow, src, size_t(g.crop_w) * 3);
+            if (pad_bytes)
+                std::memset(orow + size_t(g.crop_w) * 3, 0, pad_bytes);
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -208,67 +277,42 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
     }
 
     // output geometry: short side == short_side, preserve aspect, center-crop
-    // long side to canvas limits
+    // long side to canvas limits (compute_geom; portrait → transposed write,
+    // see the keep_tall doc above)
     int in_w = ctx.dec->width, in_h = ctx.dec->height;
-    int new_w, new_h;
-    if (in_h <= in_w) {
-        new_h = short_side;
-        new_w = std::max(short_side,
-                         int(std::lround(double(in_w) * short_side / in_h)));
-    } else {
-        new_w = short_side;
-        new_h = int(std::lround(double(in_h) * short_side / in_w));
-    }
-    int portrait = (keep_tall && in_h > in_w && new_h > short_side) ? 1 : 0;
-    if (out_portrait) *out_portrait = portrait;
-    int crop_w, crop_h, x_off, y_off;
-    if (portrait) {
-        // transposed write: canvas rows = source columns (== short_side),
-        // canvas cols = source rows (vertical extent, center-cropped to
-        // the canvas width) — see the keep_tall doc above
-        crop_h = new_w;                         // == short_side
-        crop_w = std::min(new_h, max_width);    // source vertical extent
-        x_off = 0;
-        y_off = (new_h - crop_w) / 2;           // center crop along source y
-    } else {
-        crop_w = std::min(new_w, max_width);
-        crop_h = std::min(new_h, short_side);
-        x_off = (new_w - crop_w) / 2;
-        y_off = (new_h - crop_h) / 2;
-    }
-    *out_width = crop_w;
+    OutGeom g = compute_geom(in_w, in_h, short_side, max_width, keep_tall);
+    if (out_portrait) *out_portrait = g.portrait;
+    *out_width = g.crop_w;
 
     // Contract with the Python side (data/decoder.py uses np.empty): on
     // success EVERY byte of the buffer is written — crop_h content rows
     // spanning all short_side rows, plus per-row zeroed column tails. If a
     // future geometry change breaks that (crop_h < short_side), fail loudly
     // here instead of leaking uninitialized heap into model inputs.
-    if (crop_h != short_side || crop_w > max_width) {
+    if (g.crop_h != short_side || g.crop_w > max_width) {
         for (auto& f : window) av_frame_free(&f.frame);
         return -13;
     }
 
     SwsContext* sws = sws_getContext(
-        in_w, in_h, ctx.dec->pix_fmt, new_w, new_h, AV_PIX_FMT_RGB24,
+        in_w, in_h, ctx.dec->pix_fmt, g.new_w, g.new_h, AV_PIX_FMT_RGB24,
         SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!sws) {
         for (auto& f : window) av_frame_free(&f.frame);
         return -11;
     }
 
-    std::vector<uint8_t> rgb(size_t(new_w) * new_h * 3);
+    std::vector<uint8_t> rgb(size_t(g.new_w) * g.new_h * 3);
     uint8_t* dst_data[4] = {rgb.data(), nullptr, nullptr, nullptr};
-    int dst_linesize[4] = {new_w * 3, 0, 0, 0};
+    int dst_linesize[4] = {g.new_w * 3, 0, 0, 0};
 
-    size_t row_bytes = size_t(max_width) * 3;
-    size_t frame_bytes = size_t(short_side) * row_bytes;
-    // Right-pad (columns >= crop_w) is zeroed per row below instead of a
-    // whole-buffer memset: content rows always span all short_side rows
-    // (crop_h == short_side on both branches), so only the column tail
-    // needs zeroing — a whole-buffer pass costs ~6% of decode time at
-    // canvas sizes (3.15 ms / 12.6 MB buffer, PERF.md r4) and doubles for
-    // the test loader's wide (4:1) buffers.
-    size_t pad_bytes = size_t(max_width - crop_w) * 3;
+    // Right-pad (columns >= crop_w) is zeroed per row inside
+    // write_canvas_frame instead of a whole-buffer memset: content rows
+    // always span all short_side rows (crop_h == short_side, checked
+    // above), so only the column tail needs zeroing — a whole-buffer pass
+    // costs ~6% of decode time at canvas sizes (3.15 ms / 12.6 MB buffer,
+    // PERF.md r4) and doubles for the test loader's wide (4:1) buffers.
+    size_t frame_bytes = size_t(short_side) * size_t(max_width) * 3;
 
     for (int i = 0; i < num_frames; ++i) {
         double pos = (num_frames == 1)
@@ -278,36 +322,198 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
         idx = std::min(std::max(idx, 0), n - 1);
         AVFrame* f = window[size_t(idx)].frame;
         sws_scale(sws, f->data, f->linesize, 0, in_h, dst_data, dst_linesize);
-        uint8_t* dst = out + size_t(i) * frame_bytes;
-        if (portrait) {
-            // out[row=src_x][col=src_y - y_off]: pure axis swap
-            for (int x = 0; x < crop_h; ++x) {
-                uint8_t* orow = dst + size_t(x) * row_bytes;
-                for (int y = 0; y < crop_w; ++y) {
-                    const uint8_t* p =
-                        rgb.data() + (size_t(y + y_off) * new_w + x) * 3;
-                    orow[size_t(y) * 3 + 0] = p[0];
-                    orow[size_t(y) * 3 + 1] = p[1];
-                    orow[size_t(y) * 3 + 2] = p[2];
-                }
-                if (pad_bytes)
-                    std::memset(orow + size_t(crop_w) * 3, 0, pad_bytes);
-            }
-        } else {
-            for (int y = 0; y < crop_h; ++y) {
-                uint8_t* orow = dst + size_t(y) * row_bytes;
-                const uint8_t* src =
-                    rgb.data() + (size_t(y + y_off) * new_w + x_off) * 3;
-                std::memcpy(orow, src, size_t(crop_w) * 3);
-                if (pad_bytes)
-                    std::memset(orow + size_t(crop_w) * 3, 0, pad_bytes);
-            }
-        }
+        write_canvas_frame(rgb.data(), g, max_width,
+                           out + size_t(i) * frame_bytes);
     }
 
     sws_freeContext(sws);
     for (auto& f : window) av_frame_free(&f.frame);
     return 0;
+}
+
+// Decode ALL num_clips uniformly-spaced test views of one video at once.
+//
+// The 30-view protocol's temporal windows overlap heavily (each spans
+// clip_size frames of the same video at strides of (L - clip_size) /
+// num_clips), so per-view selective decodes re-decode the same content up
+// to ~10×. This entry instead makes two sequential passes:
+//   pass A decodes the stream once collecting only frame pts, from which
+//   every view's window ([start_pts, end_pts] filter — the same int math
+//   as esf_decode_clip2's selective branch) and linspace selection
+//   (decoder.py:35-52 semantics) are computed exactly;
+//   pass B decodes once more, scales each SELECTED frame a single time,
+//   and writes it into every (view, slot) that chose it.
+// Output is bit-identical to num_clips independent esf_decode_clip2 calls
+// (tests/test_decoder.py) at ~2 full decodes instead of num_clips window
+// decodes, and with deduplicated swscale work.
+//
+//   out: num_clips * num_frames * short_side * max_width * 3 bytes.
+// Returns 0 on success; -14 when the stream has duplicate frame pts
+// (pts-keyed pass-B matching would be ambiguous — caller falls back to
+// per-view decodes); other negative codes as esf_decode_clip2.
+int esf_decode_views(const char* path, int num_frames, double sampling_rate,
+                     double target_fps, int num_clips, int short_side,
+                     int max_width, int multi_thread, int keep_tall,
+                     unsigned char* out, int* out_width, int* out_portrait) {
+    // ---- pass A: pts scan (full decode, no clone, no scale) ----
+    std::vector<int64_t> all_pts;
+    int in_w = 0, in_h = 0;
+    AVPixelFormat pix_fmt = AV_PIX_FMT_NONE;
+    double fps = 30.0;
+    int64_t frames_length = 0, duration = 0;
+    {
+        DecodeCtx ctx;
+        int rc = open_video(path, multi_thread, &ctx);
+        if (rc != 0) return rc;
+        AVStream* st = ctx.fmt->streams[ctx.stream_idx];
+        fps = av_q2d(st->avg_frame_rate);
+        if (!(fps > 0)) fps = av_q2d(st->r_frame_rate);
+        if (!(fps > 0)) fps = 30.0;
+        frames_length = st->nb_frames;
+        duration = st->duration;
+        in_w = ctx.dec->width;
+        in_h = ctx.dec->height;
+        pix_fmt = ctx.dec->pix_fmt;
+
+        AVPacket* pkt = av_packet_alloc();
+        AVFrame* frm = av_frame_alloc();
+        bool done = false;
+        while (!done) {
+            int r = av_read_frame(ctx.fmt, pkt);
+            bool eof_input = (r < 0);
+            if (!eof_input && pkt->stream_index != ctx.stream_idx) {
+                av_packet_unref(pkt);
+                continue;
+            }
+            if (avcodec_send_packet(ctx.dec, eof_input ? nullptr : pkt) < 0 &&
+                !eof_input) {
+                av_packet_unref(pkt);
+                continue;
+            }
+            av_packet_unref(pkt);
+            while (true) {
+                int rr = avcodec_receive_frame(ctx.dec, frm);
+                if (rr == AVERROR(EAGAIN)) break;
+                if (rr < 0) { done = true; break; }
+                int64_t pts = frm->best_effort_timestamp;
+                if (pts == AV_NOPTS_VALUE) pts = frm->pts;
+                all_pts.push_back(pts);
+                av_frame_unref(frm);
+            }
+            if (eof_input) break;
+        }
+        av_packet_free(&pkt);
+        av_frame_free(&frm);
+    }
+    if (all_pts.empty()) return -10;
+    std::sort(all_pts.begin(), all_pts.end());
+    for (size_t i = 1; i < all_pts.size(); ++i)
+        if (all_pts[i] == all_pts[i - 1]) return -14;  // ambiguous pts match
+    int n_total = int(all_pts.size());
+
+    OutGeom g = compute_geom(in_w, in_h, short_side, max_width, keep_tall);
+    if (out_portrait) *out_portrait = g.portrait;
+    *out_width = g.crop_w;
+    if (g.crop_h != short_side || g.crop_w > max_width) return -13;
+
+    // ---- per-view window + linspace selection (esf_decode_clip2 math) ----
+    double clip_size = sampling_rate * num_frames / target_fps * fps;
+    bool selective = (duration > 0 && frames_length > 0);
+    size_t frame_bytes = size_t(short_side) * size_t(max_width) * 3;
+    // pts → list of output slots (view * num_frames + i)
+    std::vector<std::pair<int64_t, int>> want;  // (pts, slot)
+    for (int v = 0; v < num_clips; ++v) {
+        int first = 0, count = n_total;
+        double sel_start, sel_end;
+        if (selective) {
+            double delta = std::max<double>(frames_length - clip_size, 0);
+            double start_idx = delta * v / std::max(num_clips, 1);
+            double end_idx = start_idx + clip_size - 1;
+            double timebase = double(duration) / double(frames_length);
+            int64_t start_pts = int64_t(start_idx * timebase);
+            int64_t end_pts = int64_t(end_idx * timebase);
+            // window = frames with pts in [start_pts, end_pts] (sorted)
+            first = int(std::lower_bound(all_pts.begin(), all_pts.end(),
+                                         start_pts) - all_pts.begin());
+            int last = int(std::upper_bound(all_pts.begin(), all_pts.end(),
+                                            end_pts) - all_pts.begin());
+            count = last - first;
+            if (count <= 0) return -10;  // empty window, as esf_decode_clip2
+            sel_start = 0;
+            sel_end = count - 1;
+        } else {
+            double delta = std::max<double>(n_total - clip_size, 0);
+            sel_start = delta * v / std::max(num_clips, 1);
+            sel_end = sel_start + clip_size - 1;
+        }
+        for (int i = 0; i < num_frames; ++i) {
+            double pos = (num_frames == 1)
+                             ? sel_start
+                             : sel_start +
+                                   (sel_end - sel_start) * i / (num_frames - 1);
+            int idx = int(std::lround(pos));
+            idx = std::min(std::max(idx, 0), count - 1);
+            want.emplace_back(all_pts[size_t(first + idx)],
+                              v * num_frames + i);
+        }
+    }
+    std::sort(want.begin(), want.end());
+
+    // ---- pass B: decode again, scale each needed frame once ----
+    DecodeCtx ctx;
+    int rc = open_video(path, multi_thread, &ctx);
+    if (rc != 0) return rc;
+    SwsContext* sws = sws_getContext(
+        in_w, in_h, pix_fmt, g.new_w, g.new_h, AV_PIX_FMT_RGB24,
+        SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!sws) return -11;
+    std::vector<uint8_t> rgb(size_t(g.new_w) * g.new_h * 3);
+    uint8_t* dst_data[4] = {rgb.data(), nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {g.new_w * 3, 0, 0, 0};
+
+    size_t filled = 0;
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frm = av_frame_alloc();
+    bool done = false;
+    while (!done && filled < want.size()) {
+        int r = av_read_frame(ctx.fmt, pkt);
+        bool eof_input = (r < 0);
+        if (!eof_input && pkt->stream_index != ctx.stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        if (avcodec_send_packet(ctx.dec, eof_input ? nullptr : pkt) < 0 &&
+            !eof_input) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        av_packet_unref(pkt);
+        while (filled < want.size()) {
+            int rr = avcodec_receive_frame(ctx.dec, frm);
+            if (rr == AVERROR(EAGAIN)) break;
+            if (rr < 0) { done = true; break; }
+            int64_t pts = frm->best_effort_timestamp;
+            if (pts == AV_NOPTS_VALUE) pts = frm->pts;
+            auto lo = std::lower_bound(
+                want.begin(), want.end(), std::make_pair(pts, -1));
+            if (lo != want.end() && lo->first == pts) {
+                sws_scale(sws, frm->data, frm->linesize, 0, in_h, dst_data,
+                          dst_linesize);
+                for (auto it = lo; it != want.end() && it->first == pts;
+                     ++it) {
+                    write_canvas_frame(rgb.data(), g, max_width,
+                                       out + size_t(it->second) * frame_bytes);
+                    ++filled;
+                }
+            }
+            av_frame_unref(frm);
+        }
+        if (eof_input) break;
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frm);
+    sws_freeContext(sws);
+    return filled == want.size() ? 0 : -15;  // pass B missed a frame
 }
 
 // Original ABI: tall content center-cropped square (pre-r4 behavior).

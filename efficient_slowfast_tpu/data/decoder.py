@@ -99,6 +99,15 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        if hasattr(lib, "esf_decode_views"):
+            lib.esf_decode_views.restype = ctypes.c_int
+            lib.esf_decode_views.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
         lib.esf_probe.restype = ctypes.c_int
         lib.esf_probe.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
@@ -180,6 +189,48 @@ def decode_clip(path: str, num_frames: int, sampling_rate: float,
     frames = out[:, :, : out_w.value]
     if out_portrait.value:
         frames = np.swapaxes(frames, 1, 2)
+    return frames
+
+
+def decode_views(path: str, num_frames: int, sampling_rate: float,
+                 num_clips: int, target_fps: float, short_side: int,
+                 multi_thread: bool = False, max_aspect: float = 2.0,
+                 width_hint: Optional[int] = None) -> Optional[np.ndarray]:
+    """Decode ALL ``num_clips`` temporal test views of one video at once.
+
+    Returns uint8 (num_clips, num_frames, H, W, 3) in natural orientation —
+    BIT-IDENTICAL to ``num_clips`` independent :func:`decode_clip` calls
+    with clip_idx = 0..num_clips-1 (tests/test_decoder.py) — or None on
+    failure, including streams with duplicate/irregular pts where the
+    union-decode's frame matching would be ambiguous (rc −14/−15; the
+    caller falls back to per-view decodes). The win: the overlapping view
+    windows are served by ~2 sequential full decodes instead of num_clips
+    seek+window decodes, and each selected frame is swscaled once even when
+    several views share it (csrc/decode.cpp esf_decode_views; PERF.md r5).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "esf_decode_views"):
+        return None  # stale pre-r5 binary: callers use per-view decodes
+    max_w = max(short_side * 2, int(round(short_side * max_aspect)))
+    if width_hint is not None:
+        max_w = min(max_w, max(int(width_hint), 1))
+    out = np.empty((num_clips, num_frames, short_side, max_w, 3), np.uint8)
+    out_w = ctypes.c_int(0)
+    out_portrait = ctypes.c_int(0)
+    rc = lib.esf_decode_views(
+        path.encode(), num_frames, float(sampling_rate), float(target_fps),
+        int(num_clips), int(short_side), int(max_w),
+        int(bool(multi_thread)), 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.byref(out_w), ctypes.byref(out_portrait),
+    )
+    if rc != 0:
+        if rc not in (-14, -15):  # expected fallbacks stay quiet
+            logger.warning("native union decode failed (%d) for %s", rc, path)
+        return None
+    frames = out[:, :, :, : out_w.value]
+    if out_portrait.value:
+        frames = np.swapaxes(frames, 2, 3)
     return frames
 
 
