@@ -392,6 +392,13 @@ _C.TPU.FLASH_MAX_KEYS = 25088
 # XLA's conv pipeline on v5e at R50 eval shapes — see PERF.md §2. Opt-in
 # for Mosaic experimentation; default stays on the XLA path.
 _C.TPU.FUSED_EVAL = False
+# Long-axis decode cap as a multiple of the short side. The batch canvas is
+# fixed at 2:1; content between 2:1 and this cap keeps its full long axis
+# (windowed per view / per crop_u), content beyond it is center-cropped to
+# the cap BEFORE the 3-position / random-crop protocols (no mainstream
+# media exceeds it: anamorphic cinema tops out ~2.76:1). A one-time warning
+# logs when the cap engages (data/datasets.py).
+_C.TPU.DECODE_MAX_ASPECT = 4.0
 # Checkpoint store: "msgpack" (single-file, master-only) or "orbax"
 # (async sharded directories; every host participates — the production
 # path for multi-host/large-model jobs).

