@@ -347,10 +347,21 @@ int esf_decode_clip2(const char* path, int num_frames, double sampling_rate,
 // (tests/test_decoder.py) at ~2 full decodes instead of num_clips window
 // decodes, and with deduplicated swscale work.
 //
+// Length guard: the union's win comes entirely from WINDOW OVERLAP
+// (stride (L - clip_size)/num_clips < clip_size, i.e. L < clip_size *
+// (num_clips + 1)). On longer seekable media the two full passes lose to
+// num_clips cheap seek+window decodes (measured warm: union ~2-3x slower
+// at 2400 frames, ~2-3x faster at <=300 — PERF.md r5), so a seekable
+// stream past that bound returns -16 BEFORE pass A and the caller decodes
+// per view. Streams WITHOUT seek metadata are exempt: per-view decoding
+// then degrades to num_clips full scans (decode_window's non-seekable
+// branch), which the union's two passes always beat.
+//
 //   out: num_clips * num_frames * short_side * max_width * 3 bytes.
 // Returns 0 on success; -14 when the stream has duplicate frame pts
 // (pts-keyed pass-B matching would be ambiguous — caller falls back to
-// per-view decodes); other negative codes as esf_decode_clip2.
+// per-view decodes); -16 when the length guard bails (caller falls back);
+// other negative codes as esf_decode_clip2.
 int esf_decode_views(const char* path, int num_frames, double sampling_rate,
                      double target_fps, int num_clips, int short_side,
                      int max_width, int multi_thread, int keep_tall,
@@ -374,6 +385,15 @@ int esf_decode_views(const char* path, int num_frames, double sampling_rate,
         in_w = ctx.dec->width;
         in_h = ctx.dec->height;
         pix_fmt = ctx.dec->pix_fmt;
+
+        // length guard (see header comment): seekable media whose view
+        // windows cannot overlap decodes faster per view — bail before
+        // paying the pass-A full decode
+        if (duration > 0 && frames_length > 0) {
+            double clip = sampling_rate * num_frames / target_fps * fps;
+            if (double(frames_length) >= clip * (num_clips + 1))
+                return -16;
+        }
 
         AVPacket* pkt = av_packet_alloc();
         AVFrame* frm = av_frame_alloc();

@@ -225,7 +225,10 @@ def decode_views(path: str, num_frames: int, sampling_rate: float,
         ctypes.byref(out_w), ctypes.byref(out_portrait),
     )
     if rc != 0:
-        if rc not in (-14, -15):  # expected fallbacks stay quiet
+        # expected fallbacks stay quiet: -14/-15 ambiguous pts matching,
+        # -16 the length guard (windows can't overlap — per-view seek
+        # decodes are faster than the union's two full passes; PERF.md r5)
+        if rc not in (-14, -15, -16):
             logger.warning("native union decode failed (%d) for %s", rc, path)
         return None
     frames = out[:, :, :, : out_w.value]

@@ -129,6 +129,33 @@ def test_union_decode_views_bit_identical(tmp_path):
             assert (union[v] == single).all(), (name, v)
 
 
+def test_union_decode_length_guard_bails_on_long_seekable_media(tmp_path):
+    """Seekable media whose view windows cannot overlap (frames >=
+    clip_size * (num_clips + 1)) must make decode_views bail (rc -16 →
+    None) BEFORE paying its two full decode passes: per-view seek decodes
+    are measured 2-3x faster there (PERF.md r5 length-guard note), and the
+    dataset layer falls back to them on None."""
+    path = str(tmp_path / "long.mp4")
+    rs = np.random.RandomState(9)
+    decoder.write_test_video(path, rs.randint(0, 255, (200, 90, 160, 3),
+                                              np.uint8))
+    # clip_size = 2*8/30*30 = 16; bound = 16 * (10+1) = 176 <= 200 frames
+    assert decoder.decode_views(path, num_frames=8, sampling_rate=2,
+                                num_clips=10, target_fps=30, short_side=64,
+                                max_aspect=4.0) is None
+    # fewer views -> bound 16*31 = 496 > 200: union engages and stays
+    # bit-identical to the per-view decodes it replaces
+    union = decoder.decode_views(path, num_frames=8, sampling_rate=2,
+                                 num_clips=30, target_fps=30, short_side=64,
+                                 max_aspect=4.0)
+    assert union is not None
+    for v in (0, 29):
+        single = decoder.decode_clip(
+            path, num_frames=8, sampling_rate=2, clip_idx=v, num_clips=30,
+            target_fps=30, short_side=64, random_clip=False, max_aspect=4.0)
+        assert (union[v] == single).all(), v
+
+
 def test_union_decode_width_hint_identical(tmp_path):
     """The exact-width second-visit buffer must not change union output."""
     path = str(tmp_path / "hint.mp4")
