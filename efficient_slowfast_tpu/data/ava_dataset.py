@@ -23,7 +23,7 @@ import numpy as np
 from ..utils.logging import get_logger
 from .build import DATASET_REGISTRY
 from . import ava_helper
-from .datasets import fit_canvas
+from .datasets import _DecodeMemo, fit_canvas
 
 logger = get_logger(__name__)
 
@@ -39,6 +39,15 @@ class Ava:
         self._video_length = cfg.DATA.NUM_FRAMES
         self._seq_len = self._video_length * self._sample_rate
         self._num_classes = cfg.MODEL.NUM_CLASSES
+        # Eval keyframes are enumerated video-major at 1 Hz while each
+        # window spans seq_len raw frames (~2 s at the flagship 32×2), so
+        # adjacent items RE-decode ~half their jpgs (17/32 shared at 32×2 +
+        # 1 Hz); a shared single-flight frame memo serves those reads once
+        # (measured 1.5× on the val/test frame-load stage — PERF.md r5).
+        # Train shuffles keyframes globally (no locality) and stays
+        # uncached.
+        self._frame_memo = (_DecodeMemo(capacity=192, max_bytes=256 << 20)
+                            if split != "train" else None)
         self._load_data(cfg)
 
     def _load_data(self, cfg):
@@ -98,11 +107,19 @@ class Ava:
     def _load_frames(self, video_idx: int, frame_indices) -> np.ndarray:
         from PIL import Image
 
+        def read(path):
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"), np.uint8)
+
         frames = []
         for idx in frame_indices:
             path = self._image_paths[video_idx][idx]
-            with Image.open(path) as im:
-                frames.append(np.asarray(im.convert("RGB"), np.uint8))
+            if self._frame_memo is not None:
+                # memo entries are read-only; np.stack below copies
+                frames.append(self._frame_memo.get_or_compute(
+                    (video_idx, idx), lambda p=path: read(p)))
+            else:
+                frames.append(read(path))
         out = np.stack(frames)
         if self.cfg.AVA.BGR:
             # feed channels in BGR order, for checkpoints trained on BGR

@@ -161,6 +161,36 @@ def test_ava_dataset_loads_keyframes(ava_fixture):
     assert 0 <= item["boxes"][0][0] <= item["width"]
 
 
+def test_ava_eval_frame_memo_identical_and_scoped(ava_fixture):
+    """The eval frame memo (r5: adjacent 1 Hz keyframe windows share ~half
+    their jpg reads) must be invisible in the data — items byte-identical
+    with and without it — train-scoped off, and actually HIT on the shared
+    frames of overlapping windows."""
+    from efficient_slowfast_tpu.data.build import build_dataset
+
+    cfg = ava_cfg(ava_fixture)
+    ds = build_dataset("ava", cfg, "test")
+    assert ds._frame_memo is not None
+    assert build_dataset("ava", cfg, "train")._frame_memo is None
+
+    with_memo = [ds[i] for i in range(len(ds))]
+    assert len(ds._frame_memo._entries) > 0  # memo actually used
+    ds._frame_memo = None
+    without = [ds[i] for i in range(len(ds))]
+    for a, b in zip(with_memo, without):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # re-fetching the same window must be all memo hits: entry count
+    # (one per distinct decoded frame) must not grow
+    ds2 = build_dataset("ava", cfg, "test")
+    ds2[0]
+    before = len(ds2._frame_memo._entries)
+    ds2[0]
+    assert len(ds2._frame_memo._entries) == before
+
+
 def test_labelmap_and_exclusions(ava_fixture):
     from efficient_slowfast_tpu.utils.ava_eval_helper import (
         read_csv, read_exclusions, read_labelmap,
