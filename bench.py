@@ -46,6 +46,7 @@ only, see BASELINE.md).
 """
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -79,16 +80,39 @@ def _persist_headline(headline, cache_path=HEADLINE_CACHE):
         pass
 
 
-def _stale_headline(reason, cache_path=HEADLINE_CACHE):
+def _stale_headline(reason, cache_path=HEADLINE_CACHE, artifact_dir=None):
     """Load the persisted last-good headline, marked stale; None if absent.
 
     The returned line keeps the original metric/value/measured_at and adds
     ``stale: true`` + the saturation error as ``stale_reason`` so the
-    artifact can never be mistaken for a fresh measurement."""
-    if not os.path.exists(cache_path):
+    artifact can never be mistaken for a fresh measurement.
+
+    The tmp/ cache is untracked and does not survive the driver's
+    between-round cleanup (or a VM migration), so when it is absent the
+    newest COMMITTED driver artifact ``BENCH_r*.json`` (whose ``parsed``
+    field is the verbatim headline of that round) serves as the last-good
+    source — marked stale the same way, with its round of origin."""
+    cached = None
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cached = json.load(f)
+    else:
+        repo = artifact_dir or os.path.dirname(os.path.abspath(__file__))
+        rounds = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+        for art_path in reversed(rounds):
+            try:
+                with open(art_path) as f:
+                    art = json.load(f)
+                parsed = art.get("parsed")
+                if art.get("rc") == 0 and isinstance(parsed, dict) \
+                        and "value" in parsed and not parsed.get("stale"):
+                    cached = dict(parsed)
+                    cached["measured_at"] = os.path.basename(art_path)
+                    break
+            except (OSError, ValueError):
+                continue
+    if cached is None:
         return None
-    with open(cache_path) as f:
-        cached = json.load(f)
     cached["stale"] = True
     cached["stale_reason"] = str(reason)[:200]
     return cached

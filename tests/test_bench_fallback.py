@@ -39,8 +39,45 @@ def test_persist_then_stale_round_trip(tmp_path):
 
 
 def test_stale_headline_missing_cache_returns_none(tmp_path):
+    # no tmp cache AND no committed BENCH_r*.json artifacts → nothing to
+    # fall back to
     assert bench._stale_headline(
-        "x", cache_path=str(tmp_path / "absent.json")) is None
+        "x", cache_path=str(tmp_path / "absent.json"),
+        artifact_dir=str(tmp_path)) is None
+
+
+def test_stale_headline_falls_back_to_committed_round_artifact(tmp_path):
+    """The tmp/ cache is untracked and dies at round boundaries (driver
+    cleanup / VM migration); with it absent, the newest committed
+    BENCH_r*.json whose parsed headline is fresh serves as last-good."""
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"rc": 0, "parsed": {"metric": "m", "value": 500.0}}))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(
+        {"rc": 0, "parsed": {"metric": "m", "value": 518.0}}))
+    # newer but unusable artifacts must be skipped, not chosen
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(
+        {"rc": 124, "parsed": None}))
+    (tmp_path / "BENCH_r06.json").write_text("not json")
+    # a prior STALE fallback line must not be re-served as last-good
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"rc": 0, "parsed": {"metric": "m", "value": 400.0, "stale": True}}))
+
+    stale = bench._stale_headline(
+        RuntimeError("chip saturated for the whole retry budget"),
+        cache_path=str(tmp_path / "absent.json"),
+        artifact_dir=str(tmp_path))
+    assert stale["value"] == 518.0
+    assert stale["stale"] is True
+    assert stale["measured_at"] == "BENCH_r04.json"
+    json.dumps(stale)
+
+    # the tmp cache, when present, still wins over round artifacts
+    cache = tmp_path / "headline.json"
+    bench._persist_headline({"metric": "m", "value": 519.0},
+                            cache_path=str(cache))
+    fresh = bench._stale_headline("x", cache_path=str(cache),
+                                  artifact_dir=str(tmp_path))
+    assert fresh["value"] == 519.0
 
 
 def test_stale_reason_is_truncated(tmp_path):
