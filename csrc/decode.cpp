@@ -563,6 +563,117 @@ int esf_probe(const char* path, double* fps, int64_t* nb_frames,
 }
 
 // ---------------------------------------------------------------------------
+// Sequential canvas-frame stream: open once, pull one scaled canvas frame
+// per call, close. This is the demo file path's decode substrate
+// (engine/demo.py file_window_stream): consecutive sliding windows decoded
+// through per-window seeks pay a keyframe backoff of up to a full GOP
+// (~250 frames on typical x264 media) per ~64-frame window; a sequential
+// stream decodes every frame exactly once, like the reference's cv2 read
+// loop (tools/demo_net.py:156-172). Geometry (compute_geom /
+// write_canvas_frame) matches esf_decode_clip2 exactly, so a streamed
+// frame is byte-identical to the same frame from a window decode.
+
+struct StreamCtx {
+    DecodeCtx ctx;
+    SwsContext* sws = nullptr;
+    std::vector<uint8_t> rgb;
+    OutGeom g;
+    int max_width = 0;
+    AVPacket* pkt = nullptr;
+    AVFrame* frm = nullptr;
+    bool input_eof = false;
+
+    ~StreamCtx() {
+        if (sws) sws_freeContext(sws);
+        if (pkt) av_packet_free(&pkt);
+        if (frm) av_frame_free(&frm);
+    }
+};
+
+// Returns a handle (nullptr on failure, *err holds the open_video code).
+// out_width/out_portrait: canvas geometry, as esf_decode_clip2.
+void* esf_stream_open(const char* path, int multi_thread, int short_side,
+                      int max_width, int keep_tall, double* fps,
+                      int64_t* nb_frames, int64_t* duration, int* out_width,
+                      int* out_portrait, int* err) {
+    auto* s = new StreamCtx();
+    int rc = open_video(path, multi_thread, &s->ctx);
+    if (rc != 0) {
+        if (err) *err = rc;
+        delete s;
+        return nullptr;
+    }
+    AVStream* st = s->ctx.fmt->streams[s->ctx.stream_idx];
+    double f = av_q2d(st->avg_frame_rate);
+    if (!(f > 0)) f = av_q2d(st->r_frame_rate);
+    if (fps) *fps = f;
+    if (nb_frames) *nb_frames = st->nb_frames;
+    if (duration) *duration = st->duration;
+
+    s->max_width = max_width;
+    s->g = compute_geom(s->ctx.dec->width, s->ctx.dec->height, short_side,
+                        max_width, keep_tall);
+    if (out_width) *out_width = s->g.crop_w;
+    if (out_portrait) *out_portrait = s->g.portrait;
+    if (s->g.crop_h != short_side || s->g.crop_w > max_width) {
+        if (err) *err = -13;  // np.empty contract, as esf_decode_clip2
+        delete s;
+        return nullptr;
+    }
+    s->sws = sws_getContext(s->ctx.dec->width, s->ctx.dec->height,
+                            s->ctx.dec->pix_fmt, s->g.new_w, s->g.new_h,
+                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    if (!s->sws) {
+        if (err) *err = -11;
+        delete s;
+        return nullptr;
+    }
+    s->rgb.resize(size_t(s->g.new_w) * s->g.new_h * 3);
+    s->pkt = av_packet_alloc();
+    s->frm = av_frame_alloc();
+    if (err) *err = 0;
+    return s;
+}
+
+// Pull the next frame into `out` (short_side * max_width * 3 bytes, the
+// same canvas layout as one esf_decode_clip2 frame slot) and its pts into
+// *out_pts. Returns 0 on a frame, 1 on end of stream, <0 on read errors.
+int esf_stream_next(void* handle, unsigned char* out, long long* out_pts) {
+    auto* s = static_cast<StreamCtx*>(handle);
+    while (true) {
+        int rr = avcodec_receive_frame(s->ctx.dec, s->frm);
+        if (rr == 0) {
+            int64_t pts = s->frm->best_effort_timestamp;
+            if (pts == AV_NOPTS_VALUE) pts = s->frm->pts;
+            uint8_t* dst_data[4] = {s->rgb.data(), nullptr, nullptr, nullptr};
+            int dst_linesize[4] = {s->g.new_w * 3, 0, 0, 0};
+            sws_scale(s->sws, s->frm->data, s->frm->linesize, 0,
+                      s->ctx.dec->height, dst_data, dst_linesize);
+            write_canvas_frame(s->rgb.data(), s->g, s->max_width, out);
+            av_frame_unref(s->frm);
+            if (out_pts) *out_pts = pts;
+            return 0;
+        }
+        if (rr != AVERROR(EAGAIN)) return 1;  // EOF (or decoder done)
+        if (s->input_eof) return 1;
+        int r = av_read_frame(s->ctx.fmt, s->pkt);
+        if (r < 0) {
+            s->input_eof = true;
+            avcodec_send_packet(s->ctx.dec, nullptr);  // flush
+            continue;
+        }
+        if (s->pkt->stream_index == s->ctx.stream_idx)
+            avcodec_send_packet(s->ctx.dec, s->pkt);
+        av_packet_unref(s->pkt);
+    }
+}
+
+void esf_stream_close(void* handle) {
+    delete static_cast<StreamCtx*>(handle);
+}
+
+// ---------------------------------------------------------------------------
 // Streaming mpeg4 encoder: open once, append RGB24 frames per window, close
 // writes the trailer. This is the demo's annotated-output sink (constant
 // memory over arbitrarily long camera streams — the reference streams through
@@ -614,7 +725,10 @@ static int encoder_drain(EncodeCtx* ctx, AVFrame* f) {
     return 0;
 }
 
-void* esf_encoder_open(const char* path, int w, int h, int fps) {
+// gop: keyframe interval. Fixtures default to 8 (fast seeks in tests);
+// pass production-like values (x264 defaults to 250) to exercise
+// seek-backoff behavior (e.g. the demo's sequential-vs-seek study).
+void* esf_encoder_open2(const char* path, int w, int h, int fps, int gop) {
     EncodeCtx* ctx = new EncodeCtx();
     ctx->w = w;
     ctx->h = h;
@@ -630,7 +744,7 @@ void* esf_encoder_open(const char* path, int w, int h, int fps) {
     ctx->enc->time_base = {1, fps};
     ctx->enc->framerate = {fps, 1};
     ctx->enc->pix_fmt = AV_PIX_FMT_YUV420P;
-    ctx->enc->gop_size = 8;
+    ctx->enc->gop_size = gop > 0 ? gop : 8;
     ctx->enc->bit_rate = 4000000;
     if (ctx->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         ctx->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -659,6 +773,10 @@ void* esf_encoder_open(const char* path, int w, int h, int fps) {
         encoder_free(ctx); return nullptr;
     }
     return ctx;
+}
+
+void* esf_encoder_open(const char* path, int w, int h, int fps) {
+    return esf_encoder_open2(path, w, h, fps, 8);
 }
 
 int esf_encoder_append(void* handle, const unsigned char* rgb, int n) {

@@ -108,6 +108,22 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+        if hasattr(lib, "esf_stream_open"):
+            lib.esf_stream_open.restype = ctypes.c_void_p
+            lib.esf_stream_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.esf_stream_next.restype = ctypes.c_int
+            lib.esf_stream_next.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_longlong),
+            ]
+            lib.esf_stream_close.restype = None
+            lib.esf_stream_close.argtypes = [ctypes.c_void_p]
         lib.esf_probe.restype = ctypes.c_int
         lib.esf_probe.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
@@ -123,6 +139,12 @@ def get_lib() -> ctypes.CDLL:
         lib.esf_encoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        if hasattr(lib, "esf_encoder_open2"):
+            lib.esf_encoder_open2.restype = ctypes.c_void_p
+            lib.esf_encoder_open2.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
         lib.esf_encoder_append.restype = ctypes.c_int
         lib.esf_encoder_append.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
@@ -237,6 +259,88 @@ def decode_views(path: str, num_frames: int, sampling_rate: float,
     return frames
 
 
+class VideoStream:
+    """Sequential canvas-frame stream over a video file (csrc
+    ``esf_stream_*``): open once, iterate ``(pts, frame)`` pairs decoded
+    exactly once each — no per-window seek/keyframe-backoff cost. Each
+    ``frame`` is uint8 in NATURAL orientation (landscape ``(short, W, 3)``,
+    portrait ``(H, short, 3)``), byte-identical to the same source frame
+    in a :func:`decode_clip` result (same geometry + swscale path), which
+    is what lets the demo's streaming window iterator reproduce the
+    seek-based windows exactly (engine/demo.py; PERF.md r5).
+
+    Attributes ``fps`` / ``nb_frames`` / ``duration`` expose the container
+    metadata (the per-window pts math needs them; ``nb_frames``/``duration``
+    are 0 when the container lacks them — callers fall back to seeks).
+    Context-manager or explicit :meth:`close`; iteration stops at EOF.
+    """
+
+    def __init__(self, path: str, short_side: int, multi_thread: bool = False,
+                 max_aspect: float = 2.0, width_hint: Optional[int] = None):
+        lib = get_lib()
+        if not hasattr(lib, "esf_stream_open"):
+            raise RuntimeError("native decoder predates esf_stream_open")
+        self._lib = lib
+        self._short = int(short_side)
+        max_w = max(short_side * 2, int(round(short_side * max_aspect)))
+        if width_hint is not None:
+            max_w = min(max_w, max(int(width_hint), 1))
+        self._max_w = max_w
+        fps = ctypes.c_double(0)
+        nb = ctypes.c_int64(0)
+        dur = ctypes.c_int64(0)
+        out_w = ctypes.c_int(0)
+        out_p = ctypes.c_int(0)
+        err = ctypes.c_int(0)
+        self._h = lib.esf_stream_open(
+            path.encode(), int(bool(multi_thread)), self._short, max_w, 1,
+            ctypes.byref(fps), ctypes.byref(nb), ctypes.byref(dur),
+            ctypes.byref(out_w), ctypes.byref(out_p), ctypes.byref(err))
+        if not self._h:
+            raise RuntimeError(f"esf_stream_open({path!r}) failed: {err.value}")
+        self.fps = fps.value
+        self.nb_frames = int(nb.value)
+        self.duration = int(dur.value)
+        self.width = int(out_w.value)
+        self.portrait = bool(out_p.value)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        buf = np.empty((self._short, self._max_w, 3), np.uint8)
+        pts = ctypes.c_longlong(0)
+        rc = self._lib.esf_stream_next(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(pts))
+        if rc != 0:
+            self.close()
+            raise StopIteration
+        frame = buf[:, : self.width]
+        if self.portrait:
+            frame = np.swapaxes(frame, 0, 1)
+        return int(pts.value), frame
+
+    def close(self):
+        if self._h is not None:
+            self._lib.esf_stream_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def probe(path: str):
     lib = get_lib()
     fps = ctypes.c_double(0)
@@ -258,10 +362,15 @@ class VideoEncoder:
     output sink (reference streams via cv2.VideoWriter,
     tools/demo_net.py:62-75). Usable as a context manager."""
 
-    def __init__(self, path: str, width: int, height: int, fps: int):
+    def __init__(self, path: str, width: int, height: int, fps: int,
+                 gop: int = 8):
+        """``gop``: keyframe interval — fixtures default to 8 (cheap test
+        seeks); pass production-like values (x264 defaults to 250) to
+        exercise seek-backoff behavior."""
         self._lib = get_lib()
-        self._h = self._lib.esf_encoder_open(
-            path.encode(), int(width), int(height), max(int(fps), 1))
+        self._h = self._lib.esf_encoder_open2(
+            path.encode(), int(width), int(height), max(int(fps), 1),
+            int(gop))
         if not self._h:
             raise RuntimeError(f"cannot open encoder for {path}")
         self.path = path
@@ -304,14 +413,13 @@ class VideoEncoder:
         self.close()
 
 
-def write_test_video(path: str, frames: np.ndarray, fps: int = 30) -> None:
-    """Encode uint8 (N, H, W, 3) frames to an mpeg4 file (test fixtures)."""
-    lib = get_lib()
+def write_test_video(path: str, frames: np.ndarray, fps: int = 30,
+                     gop: int = 8) -> None:
+    """Encode uint8 (N, H, W, 3) frames to an mpeg4 file (test fixtures).
+
+    ``gop``: keyframe interval (8 keeps test seeks cheap; use ~250 to
+    emulate production x264 media)."""
     frames = np.ascontiguousarray(frames, np.uint8)
     n, h, w, _ = frames.shape
-    rc = lib.esf_write_test_video(
-        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        n, w, h, fps,
-    )
-    if rc != 0:
-        raise RuntimeError(f"test video encode failed ({rc})")
+    with VideoEncoder(path, w, h, fps, gop=gop) as enc:
+        enc.append(frames)

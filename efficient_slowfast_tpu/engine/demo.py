@@ -140,19 +140,11 @@ def camera_window_stream(cfg, capture=None):
             release()
 
 
-def file_window_stream(cfg, info=None):
-    """Yield (widx, frames) windows from a video file via the native
-    decoder's selective seek (one decode_clip per window). ``info`` reuses
-    an existing ``decoder.probe`` result (one container open per run)."""
-    if info is None:
-        info = decoder.probe(cfg.DEMO.DATA_SOURCE)
-    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
-    fps = info["fps"] or 30.0
-    clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
-                  / cfg.DATA.TARGET_FPS)
-    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
-    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
-    for widx in range(num_windows):
+def _seek_window_stream(cfg, num_windows, start_widx=0):
+    """Per-window selective-seek decode (one decode_clip per window) — the
+    fallback for containers the sequential stream cannot serve exactly
+    (missing seek metadata, non-monotonic pts)."""
+    for widx in range(start_widx, num_windows):
         frames = decoder.decode_clip(
             cfg.DEMO.DATA_SOURCE, cfg.DATA.NUM_FRAMES, cfg.DATA.SAMPLING_RATE,
             clip_idx=widx, num_clips=num_windows,
@@ -162,6 +154,101 @@ def file_window_stream(cfg, info=None):
         if frames is None:
             continue
         yield widx, frames
+
+
+def file_window_stream(cfg, info=None):
+    """Yield (widx, frames) windows from a video file.
+
+    Decodes the file SEQUENTIALLY (decoder.VideoStream) and assembles each
+    window from the frames streaming by, with the per-window pts bounds and
+    linspace selection computed exactly as the selective decoder would
+    (csrc esf_decode_clip2) — so the windows are byte-identical to the
+    per-window seek path while every source frame is decoded exactly once.
+    Seek-based decoding pays a keyframe backoff of up to a full GOP (~250
+    frames on typical x264 media) per ~64-frame window, which made the old
+    per-window path ~4× more decode work on real media (PERF.md r5; the
+    reference demo also reads sequentially, tools/demo_net.py:156-172).
+    Falls back to per-window seeks (bit-identical results) when the
+    container lacks seek metadata or its pts are not strictly increasing.
+    ``info`` reuses an existing ``decoder.probe`` result for window count.
+    """
+    import math
+
+    if info is None:
+        info = decoder.probe(cfg.DEMO.DATA_SOURCE)
+    assert info is not None, f"cannot open {cfg.DEMO.DATA_SOURCE}"
+    fps = info["fps"] or 30.0
+    clip_len_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                  / cfg.DATA.TARGET_FPS)
+    duration_s = info["nb_frames"] / fps if info["nb_frames"] else 0
+    num_windows = max(int(duration_s / max(clip_len_s, 1e-6)), 1)
+
+    try:
+        stream = decoder.VideoStream(
+            cfg.DEMO.DATA_SOURCE, cfg.DATA.TEST_CROP_SIZE,
+            multi_thread=cfg.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE)
+    except RuntimeError:
+        yield from _seek_window_stream(cfg, num_windows)
+        return
+    if not (stream.duration > 0 and stream.nb_frames > 0 and stream.fps > 0):
+        stream.close()
+        yield from _seek_window_stream(cfg, num_windows)
+        return
+
+    # per-window [start_pts, end_pts], exactly esf_decode_clip2's selective
+    # branch at clip_idx=w, num_clips=num_windows
+    t = cfg.DATA.NUM_FRAMES
+    clip = (cfg.DATA.SAMPLING_RATE * t / cfg.DATA.TARGET_FPS) * stream.fps
+    delta = max(stream.nb_frames - clip, 0)
+    timebase = stream.duration / stream.nb_frames
+    bounds = [(int((delta * w / num_windows) * timebase),
+               int((delta * w / num_windows + clip - 1) * timebase))
+              for w in range(num_windows)]
+
+    def select(win):
+        # linspace over the window's frame count (lround == floor(+0.5)
+        # for the non-negative positions here)
+        n = len(win)
+        out = []
+        for i in range(t):
+            pos = 0.0 if t == 1 else (n - 1) * i / (t - 1)
+            out.append(win[min(max(math.floor(pos + 0.5), 0), n - 1)])
+        return np.stack(out)
+
+    active = {}          # widx -> frames collected so far
+    next_w = 0           # first window not yet activated
+    done_w = 0           # windows finalized (yielded or skipped), in order
+    last_pts = None
+    with stream:
+        for pts, frame in stream:
+            if last_pts is not None and pts <= last_pts:
+                # non-monotonic pts: the pts-bound assembly would not match
+                # the sorted seek windows — replay the rest via seeks
+                logger.warning(
+                    "non-monotonic pts in %s: falling back to per-window "
+                    "seek decodes from window %d", cfg.DEMO.DATA_SOURCE,
+                    done_w)
+                yield from _seek_window_stream(cfg, num_windows, done_w)
+                return
+            last_pts = pts
+            while next_w < num_windows and pts >= bounds[next_w][0]:
+                active[next_w] = []
+                next_w += 1
+            # finalize in window order; bounds' ends are non-decreasing
+            while done_w < next_w and done_w in active \
+                    and bounds[done_w][1] < pts:
+                win = active.pop(done_w)
+                if win:
+                    yield done_w, select(win)
+                done_w += 1
+            for w, win in active.items():
+                if bounds[w][0] <= pts <= bounds[w][1]:
+                    win.append(frame)
+    while done_w < num_windows:
+        win = active.pop(done_w, None)
+        if win:
+            yield done_w, select(win)
+        done_w += 1
 
 
 class _LazyWriter:

@@ -10,6 +10,39 @@ from efficient_slowfast_tpu.data import decoder
 from efficient_slowfast_tpu.engine.demo import demo
 
 
+def test_file_window_stream_matches_seek_decodes(tmp_path):
+    """The demo's sequential streaming window iterator (r5: one decode per
+    source frame instead of a keyframe-backoff seek per window) must yield
+    byte-identical (widx, frames) to the per-window seek path it replaced —
+    landscape and portrait media."""
+    from efficient_slowfast_tpu.engine.demo import (
+        _seek_window_stream, file_window_stream)
+
+    # gop=250 emulates production x264 keyframe spacing, where the seek
+    # path pays its full backoff (measured 6.3x there — PERF.md r5)
+    for name, (h, w, gop) in {"land": (96, 128, 8), "tall": (128, 72, 8),
+                              "gop250": (96, 128, 250)}.items():
+        src = str(tmp_path / f"{name}.mp4")
+        rs = np.random.RandomState(3)
+        decoder.write_test_video(
+            src, rs.randint(0, 255, (96, h, w, 3), np.uint8), fps=24,
+            gop=gop)
+        cfg = get_cfg()
+        cfg.merge_from_file("configs/Synthetic/SHUFFLENETV2_TINY.yaml")
+        cfg.DEMO.DATA_SOURCE = src
+        info = decoder.probe(src)
+        clip_s = (cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+                  / cfg.DATA.TARGET_FPS)
+        num_windows = max(int(info["nb_frames"] / info["fps"] / clip_s), 1)
+        streamed = list(file_window_stream(cfg))
+        seeked = list(_seek_window_stream(cfg, num_windows))
+        assert len(streamed) == len(seeked) >= 2, name
+        for (wa, fa), (wb, fb) in zip(streamed, seeked):
+            assert wa == wb, name
+            assert fa.shape == fb.shape, (name, wa)
+            assert (fa == fb).all(), (name, wa)
+
+
 def test_demo_windows_labels_fps(tmp_path):
     src = str(tmp_path / "clip.mp4")
     n, h, w = 96, 96, 128
