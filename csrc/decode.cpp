@@ -387,8 +387,15 @@ int esf_decode_views(const char* path, int num_frames, double sampling_rate,
         pix_fmt = ctx.dec->pix_fmt;
 
         // length guard (see header comment): seekable media whose view
-        // windows cannot overlap decodes faster per view — bail before
-        // paying the pass-A full decode
+        // windows cannot overlap (L >= clip * (num_clips + 1)) decodes
+        // faster per view — bail before paying the pass-A full decode.
+        // Warm-page-measured crossovers sit at the bound on BOTH GOP-8
+        // and GOP-250 media (PERF.md r5: 600f GOP-250 union 0.50 s vs
+        // seeks 0.55 s; 1200f GOP-250 union 0.67 s vs seeks 0.55 s), so
+        // the overlap bound alone is the right rule — a GOP-aware
+        // extension calibrated on this host's first-touch page-fault
+        // artifact engaged union in a region where it slightly loses and
+        // was reverted.
         if (duration > 0 && frames_length > 0) {
             double clip = sampling_rate * num_frames / target_fps * fps;
             if (double(frames_length) >= clip * (num_clips + 1))
