@@ -22,9 +22,23 @@ from efficient_slowfast_tpu.data.decoder import (  # noqa: E402
     decode_clip, decode_views, write_test_video)
 
 
+def _warm_pages(nbytes):
+    # this VM first-faults never-touched memory at ~25-50 MB/s (PERF.md r5
+    # "measurement hazard"): pre-touch the union's output-buffer footprint
+    # before each timed leg so both legs run on warm pages and the A/B
+    # measures decode work, not the page-fault tax
+    import gc
+
+    a = np.empty(nbytes, np.uint8)
+    a[:] = 0
+    del a
+    gc.collect()
+
+
 def bench(path, views=10, t=32, short=256, reps=3):
     # warm (page cache, lib init)
     decode_clip(path, t, 2, 0, views, 30, short, False, max_aspect=4.0)
+    out_bytes = views * t * short * (short * 4) * 3
     per_view = []
     for _ in range(reps):
         t0 = time.monotonic()
@@ -35,6 +49,7 @@ def bench(path, views=10, t=32, short=256, reps=3):
         per_view.append(time.monotonic() - t0)
     union = []
     for _ in range(reps):
+        _warm_pages(out_bytes)
         t0 = time.monotonic()
         u = decode_views(path, t, 2, views, 30, short, max_aspect=4.0)
         assert u is not None
