@@ -291,6 +291,9 @@ class ClipDataset:
         self._decoder = None
         # multi-view test: one decode serves all NUM_SPATIAL_CROPS crops
         self._test_decode_memo = _DecodeMemo() if mode == "test" else None
+        # paths the union decode declined (length guard / duplicate pts):
+        # later items skip the union probe and use the per-view memo
+        self._union_unsupported: set = set()
         # path → exact long-axis extent at this mode's short side (decode
         # buffers sized from it after the first visit; see _decode_clip)
         self._decode_width_cache: dict = {}
@@ -465,12 +468,15 @@ class ClipDataset:
         (r5, VERDICT r4 next #5): the 10 ensemble windows overlap heavily,
         so ``decode_views`` serves them from ~2 sequential full decodes
         (bit-identical to per-view decodes — tests/test_decoder.py) instead
-        of 10 seek+window decodes. Streams it cannot match exactly
-        (duplicate pts) fall back to the per-view path, still as one memo
-        entry. Returns (NUM_ENSEMBLE_VIEWS, T, H, W, 3) or None."""
+        of 10 seek+window decodes. Returns (NUM_ENSEMBLE_VIEWS, T, H, W, 3),
+        or None when the union cannot serve this media — length guard
+        (windows too sparse to overlap), ambiguous duplicate pts, or decode
+        failure — and the caller (``_fetch``) drops to the per-(path, view)
+        memo, which keeps the loader's threads decoding different views of
+        those media in PARALLEL (a sequential per-view fallback here would
+        serialize all views into this one holder thread)."""
         cfg = self.cfg
         path = self._path_to_videos[index]
-        n_views = cfg.TEST.NUM_ENSEMBLE_VIEWS
         from .decoder import decode_views
 
         hint = self._decode_width_cache.get(path)
@@ -478,7 +484,7 @@ class ClipDataset:
             path,
             num_frames=cfg.DATA.NUM_FRAMES,
             sampling_rate=cfg.DATA.SAMPLING_RATE,
-            num_clips=n_views,
+            num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
             target_fps=cfg.DATA.TARGET_FPS,
             short_side=self._short_side(),
             multi_thread=cfg.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE,
@@ -486,10 +492,7 @@ class ClipDataset:
             width_hint=hint,
         )
         if frames is None:
-            views = [self._decode_clip(index, v) for v in range(n_views)]
-            if any(v is None for v in views):
-                return None
-            frames = np.stack(views)
+            return None
         if (hint is None and len(self._decode_width_cache) < 1_000_000):
             self._decode_width_cache[path] = max(frames.shape[2],
                                                  frames.shape[3])
@@ -518,22 +521,36 @@ class ClipDataset:
         # substituting a random video would double-count it and still fail
         for retry in range(self._num_retries):
             path = self._path_to_videos[index]
-            if self._test_decode_memo is not None and not path.startswith(
-                    "synthetic://"):
+            try_union = (self._test_decode_memo is not None
+                         and not path.startswith("synthetic://")
+                         and path not in self._union_unsupported)
+            frames = None
+            if try_union:
                 # union decode: ONE memo entry holds every temporal view of
                 # the video; the 30 test items of a video all slice from it
                 all_views = self._test_decode_memo.get_or_compute(
                     path, lambda: self._decode_all_views(index))
-                frames = (None if all_views is None
-                          else all_views[temporal_idx])
-            elif self._test_decode_memo is not None:
-                # synthetic views are cheap shifted slices of one buffer —
-                # share per (path, view) as before
+                if all_views is None:
+                    # union cannot serve this media (length guard /
+                    # duplicate pts): remember, so later items skip the
+                    # probe, and fall through to the per-view memo below —
+                    # per-view entries keep the loader's thread pool
+                    # decoding different views of the video in PARALLEL,
+                    # where a single all-views entry would serialize all
+                    # NUM_ENSEMBLE_VIEWS decodes into its one holder thread
+                    if len(self._union_unsupported) < 1_000_000:
+                        self._union_unsupported.add(path)
+                else:
+                    frames = all_views[temporal_idx]
+            if frames is None and self._test_decode_memo is not None:
+                # per (path, view): the r4 crop memo — one decode shared by
+                # the 3 spatial crops (also the synthetic-view path, whose
+                # views are cheap shifted slices of one buffer)
                 frames = self._test_decode_memo.get_or_compute(
                     (path, temporal_idx),
                     lambda: self._decode_clip(index, temporal_idx),
                 )
-            else:
+            elif frames is None:
                 frames = self._decode_clip(index, temporal_idx)
             if frames is not None:
                 break

@@ -156,6 +156,57 @@ def test_union_decode_length_guard_bails_on_long_seekable_media(tmp_path):
         assert (union[v] == single).all(), v
 
 
+def test_union_bail_uses_per_view_memo_entries(tmp_path, monkeypatch):
+    """When the union declines a video (length guard), the dataset must
+    (a) probe the union only ONCE for that path, and (b) serve its items
+    through per-(path, view) memo entries — the layout that lets different
+    loader threads decode different views in parallel, instead of one
+    all-views entry serializing every view into its holder thread."""
+    from efficient_slowfast_tpu.config import get_cfg
+    from efficient_slowfast_tpu.data.build import build_dataset
+    from efficient_slowfast_tpu.data import decoder as dec_mod
+
+    d = tmp_path / "data"
+    d.mkdir()
+    rs = np.random.RandomState(8)
+    p = str(d / "long.mp4")
+    # clip = 2*4/30*30 = 8; bound = 8 * (5+1) = 48 <= 120 frames -> bail
+    decoder.write_test_video(p, rs.randint(0, 255, (120, 90, 160, 3),
+                                           np.uint8))
+    (d / "test.csv").write_text(f"{p} 0\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(d)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 48
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 5
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+
+    calls = {"n": 0}
+    real = dec_mod.decode_views
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dec_mod, "decode_views", counting)
+    dataset = build_dataset("kinetics", cfg, "test")
+    items = [dataset[i] for i in range(len(dataset))]
+    assert len(items) == 5 * 3
+    assert calls["n"] == 1  # one union probe, then _union_unsupported
+    assert p in dataset._union_unsupported
+    # memo holds per-(path, view) tuple keys, not one whole-path entry
+    keys = list(dataset._test_decode_memo._entries)
+    assert keys and all(isinstance(k, tuple) for k in keys)
+    # and the items are the per-view decodes
+    ref = decoder.decode_clip(p, 4, 2, 0, 5, 30, 48, False,
+                              max_aspect=4.0)
+    from efficient_slowfast_tpu.data.datasets import fit_canvas
+    want, _, _ = fit_canvas(ref, 48, keep_portrait=True, long_view=0)
+    assert (items[0]["frames"] == want).all()
+
+
 def test_union_decode_width_hint_identical(tmp_path):
     """The exact-width second-visit buffer must not change union output."""
     path = str(tmp_path / "hint.mp4")
